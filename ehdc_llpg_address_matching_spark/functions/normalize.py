@@ -1,0 +1,271 @@
+"""Address canonicalization — the parse layer (SURVEY.md §2.2, N1-N10).
+
+Semantics mirror the reference's normalize package
+(reference: internal/normalize/address.go:126-192 — CanonicalAddress:
+uppercase -> extract+strip postcode -> strip punctuation -> expand
+abbreviations -> descriptor normalization -> collapse whitespace),
+re-implemented as *vectorized pandas string ops* wrapped in Arrow
+pandas UDFs. No per-row Python in the Spark hot path.
+
+Golden behavior (reference: internal/normalize/address_test.go:7-81):
+    "Flat 3, 45 Church Rd, Petersfield, GU31 4HX"
+        -> addr_can "FLAT 3 45 CHURCH ROAD PETERSFIELD", postcode "GU31 4HX"
+    "GU341AA" -> "GU34 1AA" (unspaced postcode re-spacing)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, StringType, StructField,
+                               StructType)
+
+# UK postcode (reference: internal/normalize/address.go:75)
+POSTCODE_RE = r"\b([A-Z]{1,2}[0-9][0-9A-Z]?)\s*([0-9][ABD-HJLNP-UW-Z]{2})\b"
+
+# word-boundary abbreviation expansions
+# (reference: internal/normalize/address.go:25-59 + enhanced.go:55-193,
+#  rebuilt as a plain mapping — ~30 core rules)
+ABBREVIATIONS = {
+    "RD": "ROAD", "STR": "STREET", "AVE": "AVENUE", "AV": "AVENUE",
+    "LN": "LANE", "CL": "CLOSE", "DR": "DRIVE", "GDNS": "GARDENS",
+    "GDN": "GARDEN", "CRES": "CRESCENT", "PL": "PLACE", "CT": "COURT",
+    "SQ": "SQUARE", "TERR": "TERRACE", "PK": "PARK", "EST": "ESTATE",
+    "IND": "INDUSTRIAL", "BUS": "BUSINESS", "CTR": "CENTRE",
+    "HSE": "HOUSE", "CTTG": "COTTAGE", "BLDG": "BUILDING",
+    "APTS": "APARTMENTS", "APT": "APARTMENT", "FLR": "FLOOR",
+    "GRD": "GROUND", "UPR": "UPPER", "LWR": "LOWER", "NR": "NEAR",
+    "OPP": "OPPOSITE", "ADJ": "ADJACENT", "HANTS": "HAMPSHIRE",
+    "N": "NORTH", "S": "SOUTH", "E": "EAST", "W": "WEST",
+}
+# ST is positional: "ST." => SAINT (handled pre-punctuation-strip);
+# bare trailing/inner "ST" => STREET.
+STREET_SUFFIX_WORDS = {
+    "ROAD", "STREET", "LANE", "CLOSE", "AVENUE", "DRIVE", "WAY",
+    "GARDENS", "CRESCENT", "PLACE", "COURT", "HILL", "SQUARE",
+    "TERRACE", "PARK", "GROVE", "RISE", "WALK", "MEWS", "ROW",
+}
+# noise/stop tokens dropped from the matching token set
+# (reference: internal/normalize/enhanced.go:196-243)
+STOP_TOKENS = {"THE", "OF", "AND", "AT", "TO", "NEAR", "OPPOSITE",
+               "ADJACENT", "OPP", "ADJ", "NR"}
+DESCRIPTOR_PATTERNS = [
+    "LAND AT", "LAND ADJACENT TO", "LAND ADJ TO", "LAND TO THE",
+    "REAR OF", "FRONT OF", "SITE OF", "FORMER SITE OF", "FORMER",
+    "PROPOSED", "PLOT", "SITE AT", "ADJACENT TO", "NORTH OF",
+    "SOUTH OF", "EAST OF", "WEST OF", "PART OF",
+]
+DESCRIPTOR_RE = r"\b(" + "|".join(p.replace(" ", r"\s+") for p in sorted(
+    DESCRIPTOR_PATTERNS, key=len, reverse=True)) + r")\b"
+HOUSE_NUM_RE = r"\b(\d+[A-Z]?)\b"
+
+_ABBREV_RE = re.compile(
+    r"\b(" + "|".join(sorted(ABBREVIATIONS, key=len, reverse=True)) + r")\b")
+
+
+# ------------------------------------------------------------ pandas core
+# All functions below operate on whole pd.Series — this is the body of
+# the Arrow UDFs and is also directly unit-testable without Spark.
+
+def extract_postcode(s: pd.Series) -> pd.Series:
+    """First UK postcode, normalized to 'OUT IN' spacing ('' if none)."""
+    m = s.str.upper().str.extract(POSTCODE_RE, expand=True)
+    pc = (m[0] + " " + m[1]).fillna("")
+    return pc
+
+
+def canonicalize_series(raw: pd.Series) -> pd.DataFrame:
+    """Vectorized CanonicalAddress. Returns DataFrame with columns
+    addr_can (canonical, postcode stripped), postcode, addr_core
+    (descriptors stripped — the matching string)."""
+    s = raw.fillna("").str.upper()
+    postcode = extract_postcode(s)
+    s = s.str.replace(POSTCODE_RE, " ", regex=True)
+    # ST. -> SAINT before punctuation strip (address_test.go:49-52 case)
+    s = s.str.replace(r"\bST\.", "SAINT", regex=True)
+    s = s.str.replace("&", " AND ", regex=False)
+    s = s.str.replace(r"[^\w\s-]", " ", regex=True)     # drop punctuation
+    s = s.str.replace(r"(?<!\d)-|-(?!\d)", " ", regex=True)  # keep 10-12 ranges
+    s = s.str.replace(_ABBREV_RE, lambda m: ABBREVIATIONS[m.group(0)], regex=True)
+    # bare ST not at string start => STREET
+    s = s.str.replace(r"(?<=\w )\bST\b", "STREET", regex=True)
+    s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    core = s.str.replace(DESCRIPTOR_RE, " ", regex=True)
+    core = core.str.replace(r"\s+", " ", regex=True).str.strip()
+    return pd.DataFrame({"addr_can": s, "postcode": postcode, "addr_core": core})
+
+
+def tokens_series(addr_can: pd.Series) -> pd.Series:
+    """Matching token set: split, drop stop tokens and len<2."""
+    return addr_can.str.split().map(
+        lambda ts: [t for t in ts if len(t) >= 2 and t not in STOP_TOKENS]
+        if isinstance(ts, list) else [])
+
+
+def house_numbers_series(addr_can: pd.Series) -> pd.Series:
+    """All house-number tokens (reference: address.go:78-81,219-236)."""
+    return addr_can.str.findall(HOUSE_NUM_RE)
+
+
+def clean_uprn_series(raw_uprn: pd.Series) -> pd.Series:
+    """Strip '.00' suffixes / non-digits from legacy UPRNs
+    (reference: internal/matcher/engine_components_fixed.go:253-257)."""
+    s = raw_uprn.fillna("").astype(str)
+    s = s.str.replace(r"\.0+$", "", regex=True)
+    s = s.str.replace(r"[^\d]", "", regex=True)
+    return s.mask(s == "", None)
+
+
+_UNIT_RE = re.compile(
+    r"\b(FLAT|UNIT|APT|APARTMENT|STUDIO|SUITE)[\s,.]*([0-9]+[A-Z]?|[A-Z])\b")
+_LEAD_NUM_RE = re.compile(r"^\W*(\d+[A-Z]?(?:-\d+[A-Z]?)?)\b")
+
+
+def _parse_one(body: str) -> tuple[str, str, str]:
+    """(house, street, locality) from a postcode-stripped UPPER address.
+    Street segment = first comma segment containing a street-suffix word
+    or a leading house number; unit designators in earlier segments fold
+    into the house component (reference heuristic:
+    internal/validation/parser.go:239-299)."""
+    segs = [x.strip() for x in body.split(",") if x.strip()]
+    if not segs:
+        return "", "", ""
+    unit = ""
+    street_idx = 0
+    for i, seg in enumerate(segs):
+        words = set(_expand_tokens(seg).split())
+        if words & STREET_SUFFIX_WORDS or _LEAD_NUM_RE.match(seg):
+            m = _UNIT_RE.search(seg)
+            if m:
+                unit = f"{m.group(1)} {m.group(2)}"
+                seg_wo = _UNIT_RE.sub(" ", seg).strip(" ,")
+                if not seg_wo and i + 1 < len(segs):
+                    continue  # pure unit segment: street lives in the next one
+            street_idx = i
+            break
+        m = _UNIT_RE.search(seg)
+        if m:
+            unit = f"{m.group(1)} {m.group(2)}"
+    seg = _UNIT_RE.sub(" ", segs[street_idx]).strip(" ,")
+    mnum = _LEAD_NUM_RE.match(seg)
+    hn = mnum.group(1) if mnum else ""
+    street = _LEAD_NUM_RE.sub(" ", seg, count=1)
+    street = _expand_tokens(re.sub(r"[^\w\s]", " ", street))
+    locality = " ".join(segs[street_idx + 1:])
+    locality = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", " ", locality)).strip()
+    house = (unit + " " + hn).strip() if unit else hn
+    return house, street, locality
+
+
+def _expand_tokens(s: str) -> str:
+    s = _ABBREV_RE.sub(lambda m: ABBREVIATIONS[m.group(0)], s)
+    s = re.sub(r"(?<=\w )\bST\b", "STREET", s)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def parse_components_series(raw: pd.Series) -> pd.DataFrame:
+    """Component parse (N9; reference: internal/validation/parser.go:37-181).
+    Runs once per *unique* address (after the dedup-join, J11), never per
+    candidate pair — so the per-row segment walk inside this Arrow batch
+    is off the hot path."""
+    s = raw.fillna("").str.upper()
+    postcode = extract_postcode(s)
+    body = s.str.replace(POSTCODE_RE, " ", regex=True)
+    body = body.str.replace(r"\bST\.", "SAINT", regex=True)
+    body = body.str.replace(DESCRIPTOR_RE, " ", regex=True)
+    parsed = body.map(_parse_one)
+    house = parsed.map(lambda t: t[0])
+    street = parsed.map(lambda t: t[1])
+    locality = parsed.map(lambda t: t[2])
+    n_comp = ((house != "").astype(int) + (street != "").astype(int)
+              + (locality != "").astype(int) + (postcode != "").astype(int))
+    conf = n_comp / 4.0
+    valid = (street != "") & ((house != "") | (postcode != "") | (locality != ""))
+    return pd.DataFrame({
+        "house_number": house, "street": street, "locality": locality,
+        "postcode": postcode, "parse_confidence": conf, "parse_valid": valid,
+    })
+
+
+def is_vague_series(addr: pd.Series) -> pd.Series:
+    """Vague-address gate (N10; reference: internal/validation/parser.go:338-377):
+    descriptor-led addresses are unsuitable for auto-accept."""
+    return addr.fillna("").str.upper().str.contains(DESCRIPTOR_RE, regex=True)
+
+
+# ------------------------------------------------------------- Spark UDFs
+
+CANON_SCHEMA = StructType([
+    StructField("addr_can", StringType()),
+    StructField("postcode", StringType()),
+    StructField("addr_core", StringType()),
+])
+
+COMPONENTS_SCHEMA = StructType([
+    StructField("house_number", StringType()),
+    StructField("street", StringType()),
+    StructField("locality", StringType()),
+    StructField("postcode", StringType()),
+    StructField("parse_confidence", StringType()),
+    StructField("parse_valid", StringType()),
+])
+
+
+def with_canonical(df, raw_col: str = "raw_address"):
+    """documents + (addr_can, postcode, addr_core, tokens, house_numbers).
+
+    Column-expression implementations where Catalyst can codegen them
+    (postcode regex, house numbers), pandas UDF for the full canonical
+    chain (abbreviation table too big to inline as regexp_replace chain
+    without bloating the plan — one Arrow batch pass instead)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(CANON_SCHEMA)
+    def _canon(raw: pd.Series) -> pd.DataFrame:
+        return canonicalize_series(raw)
+
+    df = df.withColumn("_c", _canon(F.col(raw_col)))
+    df = df.select("*", "_c.addr_can", "_c.postcode", "_c.addr_core").drop("_c")
+    df = df.withColumn(
+        "tokens",
+        F.filter(
+            F.split(F.col("addr_core"), " "),
+            lambda t: (F.length(t) >= 2) & ~t.isin(*STOP_TOKENS)))
+    df = df.withColumn(
+        "house_numbers",
+        F.expr(r"regexp_extract_all(addr_core, '\\b(\\d+[A-Z]?)\\b', 1)"))
+    df = df.withColumn("is_vague", F.col("addr_can").rlike(DESCRIPTOR_RE))
+    return df
+
+
+def with_components(df, raw_col: str = "raw_address"):
+    from pyspark.sql.functions import pandas_udf
+
+    schema = StructType([
+        StructField("house_number", StringType()),
+        StructField("street", StringType()),
+        StructField("locality", StringType()),
+        StructField("pc", StringType()),
+        StructField("parse_confidence", StringType()),
+        StructField("parse_valid", StringType()),
+    ])
+
+    @pandas_udf(schema)
+    def _parse(raw: pd.Series) -> pd.DataFrame:
+        out = parse_components_series(raw)
+        out = out.rename(columns={"postcode": "pc"})
+        out["parse_confidence"] = out["parse_confidence"].astype(str)
+        out["parse_valid"] = out["parse_valid"].astype(str)
+        return out
+
+    df = df.withColumn("_p", _parse(F.col(raw_col)))
+    return (df
+            .withColumn("c_house", F.col("_p.house_number"))
+            .withColumn("c_street", F.col("_p.street"))
+            .withColumn("c_locality", F.col("_p.locality"))
+            .withColumn("c_postcode", F.col("_p.pc"))
+            .withColumn("parse_confidence", F.col("_p.parse_confidence").cast("double"))
+            .withColumn("parse_valid", F.col("_p.parse_valid") == "True")
+            .drop("_p"))

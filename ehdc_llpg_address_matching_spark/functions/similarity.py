@@ -1,0 +1,172 @@
+"""Batch-vectorized string-similarity kernels (SURVEY.md §2.4, F1-F5).
+
+The reference computes these per row in Go (internal/match/features.go:
+149-489, internal/engine/fuzzy.go:566-591) or delegates to pg_trgm.
+Here every kernel operates on a whole NumPy batch at once — these are
+the bodies of Arrow pandas UDFs, the engine's only hot-path Python.
+No rapidfuzz dependency: Levenshtein uses a min-plus-scan DP that is
+O(maxlen) Python iterations per *batch* (not per pair), Jaro uses a
+(batch, L, L) boolean match tensor with a greedy vectorized sweep,
+trigram similarity mirrors pg_trgm's word-padded 3-gram Jaccard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+MAXLEN = 64  # addresses are clipped to this many chars for the DP kernels
+
+
+def _char_matrix(strings: pd.Series, maxlen: int = MAXLEN):
+    """(uint8 matrix (n, maxlen), lengths (n,)) for an ASCII-ish batch."""
+    s = strings.fillna("").astype(str).str.slice(0, maxlen)
+    lens = s.str.len().to_numpy(dtype=np.int32)
+    b = np.array(s.to_list(), dtype=f"S{maxlen}")
+    if b.size == 0:
+        return np.zeros((0, maxlen), np.uint8), lens
+    mat = b.view(np.uint8).reshape(len(s), maxlen)
+    return mat, lens
+
+
+def levenshtein_sim_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """Normalized Levenshtein similarity 1 - d/max(len)
+    (reference semantics: internal/match/features.go:163-181,429-468).
+
+    Row DP vectorized across the batch; the insertion chain's
+    left-to-right dependency is resolved with a min-plus prefix scan:
+    cur[j] = min_k<=j (t[k] + (j-k)) = minimum.accumulate(t - j)[j] + j.
+    """
+    A, la = _char_matrix(a)
+    B, lb = _char_matrix(b)
+    n = len(la)
+    if n == 0:
+        return np.zeros(0)
+    Lb = int(lb.max()) if n else 0
+    La = int(la.max()) if n else 0
+    jidx = np.arange(Lb + 1)
+    prev = np.broadcast_to(jidx, (n, Lb + 1)).astype(np.int32).copy()
+    # positions beyond lb are irrelevant; keep them monotone
+    for i in range(1, La + 1):
+        active = (i <= la)
+        if not active.any():
+            break
+        cost = (A[:, i - 1:i] != B[:, :Lb]).astype(np.int32)  # (n, Lb)
+        t = np.empty((n, Lb + 1), np.int32)
+        t[:, 0] = i
+        t[:, 1:] = np.minimum(prev[:, :-1] + cost, prev[:, 1:] + 1)
+        scan = np.minimum.accumulate(t - jidx, axis=1) + jidx
+        prev = np.where(active[:, None], scan, prev)
+    d = prev[np.arange(n), np.minimum(lb, Lb)]
+    mx = np.maximum(np.maximum(la, lb), 1)
+    return np.maximum(0.0, 1.0 - d / mx)
+
+
+def jaro_sim_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """Full match-window Jaro (no Winkler prefix boost), as in the
+    reference's feature set (internal/match/features.go:365-426)."""
+    A, la = _char_matrix(a)
+    B, lb = _char_matrix(b)
+    n = len(la)
+    if n == 0:
+        return np.zeros(0)
+    L = int(max(la.max(initial=0), lb.max(initial=0)))
+    if L == 0:
+        return np.zeros(n)
+    A = A[:, :L]
+    B = B[:, :L]
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # match window per row
+    ii = np.arange(L)
+    valid_a = ii[None, :] < la[:, None]
+    valid_b = ii[None, :] < lb[:, None]
+    dist = np.abs(ii[:, None] - ii[None, :])  # (L, L)
+    E = (A[:, :, None] == B[:, None, :])
+    E &= valid_a[:, :, None] & valid_b[:, None, :]
+    E &= dist[None, :, :] <= w[:, None, None]
+    used = np.zeros((n, L), bool)
+    match_j = np.full((n, L), -1, np.int32)
+    for i in range(L):
+        avail = E[:, i, :] & ~used
+        has = avail.any(axis=1)
+        j = np.argmax(avail, axis=1)
+        match_j[has, i] = j[has]
+        used[has, j[has]] = True
+    matched = match_j >= 0
+    m = matched.sum(axis=1)
+    # s1 matched chars in i order
+    order_a = np.argsort(~matched, axis=1, kind="stable")
+    s1c = np.take_along_axis(A, order_a, axis=1)
+    # s2 matched chars in j order
+    js = np.where(matched, match_j, L + 1)
+    js_sorted = np.sort(js, axis=1)
+    s2c = np.take_along_axis(B, np.minimum(js_sorted, L - 1), axis=1)
+    k = np.arange(L)[None, :]
+    in_m = k < m[:, None]
+    t = ((s1c != s2c) & in_m).sum(axis=1) / 2.0
+    m_safe = np.maximum(m, 1)
+    sim = (m / np.maximum(la, 1) + m / np.maximum(lb, 1)
+           + (m - t) / m_safe) / 3.0
+    return np.where(m > 0, sim, 0.0)
+
+
+def _trigram_set(s: str) -> frozenset:
+    """pg_trgm-compatible gram set: per word, pad '  w ' then slide 3.
+    (pg_trgm semantics re-derived from its public docs, not reference
+    code — the reference calls similarity() server-side,
+    internal/engine/fuzzy.go:182-188.)"""
+    grams = set()
+    for w in s.split():
+        p = "  " + w + " "
+        for i in range(len(p) - 2):
+            grams.add(p[i:i + 3])
+    return frozenset(grams)
+
+
+def trigram_sim_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """3-gram Jaccard |∩|/|∪| with pg_trgm word padding. Gram sets are
+    computed once per *unique* string in the batch (candidate pairs
+    repeat both sides heavily), then intersected per pair."""
+    a = a.fillna("").astype(str)
+    b = b.fillna("").astype(str)
+    cache: dict[str, frozenset] = {}
+
+    def gs(s: str) -> frozenset:
+        g = cache.get(s)
+        if g is None:
+            g = _trigram_set(s)
+            cache[s] = g
+        return g
+
+    out = np.zeros(len(a))
+    av = a.to_numpy()
+    bv = b.to_numpy()
+    for i in range(len(av)):
+        ga, gb = gs(av[i]), gs(bv[i])
+        if not ga or not gb:
+            continue
+        inter = len(ga & gb)
+        out[i] = inter / (len(ga) + len(gb) - inter)
+    return out
+
+
+def token_overlap_batch(a_tokens, b_tokens) -> np.ndarray:
+    """Overlap count / size of the smaller set (reference:
+    internal/engine/fuzzy.go:527-543)."""
+    out = np.zeros(len(a_tokens))
+    for i, (ta, tb) in enumerate(zip(a_tokens, b_tokens)):
+        if ta is None or tb is None:
+            continue
+        sa, sb = set(ta), set(tb)
+        if not sa or not sb:
+            continue
+        out[i] = len(sa & sb) / min(len(sa), len(sb))
+    return out
+
+
+def cosine_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise cosine of two (n, d) float matrices, clamped to [0, 1]
+    via (dot+1)/2 like the reference (internal/engine/vector_db.go:171-193)."""
+    na = np.linalg.norm(a, axis=1)
+    nb = np.linalg.norm(b, axis=1)
+    dot = (a * b).sum(axis=1) / np.maximum(na * nb, 1e-12)
+    return np.clip((dot + 1.0) / 2.0, 0.0, 1.0)

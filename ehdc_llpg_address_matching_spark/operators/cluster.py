@@ -1,0 +1,165 @@
+"""Transitive clustering: large-star/small-star connected components +
+per-cluster consensus (SURVEY.md §2.6 G1/G2; north_rule requirement).
+
+The reference's group-consensus correction
+(cmd/matcher-v2/main.go:759-1032) votes a winning UPRN inside each
+`planning_app_base` group. Generalized here: build an undirected graph
+whose nodes are documents and UPRNs, with edges doc->accepted-UPRN and
+doc<->doc for docs sharing a group key; compute connected components
+with the large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC'14 — O(log n) rounds, each a
+groupBy/join, localCheckpoint per round to cut lineage); then majority-
+vote a canonical UPRN per component with the reference's safety gates
+and fan it out to unmatched members.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge list -> (a<b) canonical, distinct, no loops."""
+    return (edges
+            .select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u")).alias("m")
+    return (sym.join(nbr_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), m.alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high->low; connect all smaller neighbors (and u) to
+    the minimum."""
+    directed = e.select(F.greatest("a", "b").alias("u"),
+                        F.least("a", "b").alias("v"))
+    nbr_min = directed.groupBy("u").agg(F.min("v").alias("m"))
+    links = (directed.join(nbr_min, "u")
+             .select(F.col("v").alias("a"), F.col("m").alias("b")))
+    self_links = nbr_min.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return (links.unionAll(self_links)
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b"))
+            .distinct())
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges(src, dst) -> (node, component) where component is the
+    lexicographic min node id of the component. Deterministic."""
+    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(F.count("*").alias("n"),
+                    F.expr("bit_xor(xxhash64(a, b))").alias("h")).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    # at convergence every edge is (member, root)
+    members = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = e.select(F.col("b").alias("node"),
+                     F.col("b").alias("component")).distinct()
+    comp = members.unionByName(roots)
+    # a node may briefly appear with two labels pre-full-convergence: min wins
+    return comp.groupBy("node").agg(F.min("component").alias("component"))
+
+
+def build_edges(doc_matches: DataFrame, docs: DataFrame,
+                group_col: str = "group_key") -> DataFrame:
+    """doc->uprn edges from accepted matches + doc<->doc edges via the
+    shared group key (the planning_app_base analog). Node namespaces
+    'd:' / 'u:' keep the bipartite ids distinct."""
+    du = doc_matches.select(
+        F.concat(F.lit("d:"), "doc_id").alias("src"),
+        F.concat(F.lit("u:"), "uprn").alias("dst"))
+    w = Window.partitionBy(group_col).orderBy("doc_id")
+    dd = (docs
+          .filter(F.col(group_col).isNotNull())
+          .select(group_col, "doc_id")
+          .withColumn("_anchor", F.first("doc_id").over(w))
+          .filter(F.col("doc_id") != F.col("_anchor"))
+          .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
+                  F.concat(F.lit("d:"), "_anchor").alias("dst")))
+    return du.unionByName(dd)
+
+
+def cluster_consensus(components: DataFrame, doc_matches: DataFrame,
+                      all_docs: DataFrame,
+                      min_votes: int = 2, max_cluster: int = 200,
+                      min_conf: float = 0.5,
+                      vote_share: float = 0.4) -> DataFrame:
+    """G1 consensus: per component, the UPRN with most votes among
+    matches with confidence > min_conf wins (tie-break: max confidence,
+    then min uprn); winners propagate to the component's unmatched docs
+    with confidence banded by vote count (0.85/0.90/0.95 for 2/3/4+,
+    cmd/matcher-v2/main.go:886-1012). Safety gates: cluster size cap,
+    >=min_votes votes, votes >= vote_share of matched members.
+
+    Returns (doc_id, uprn, confidence, method='cluster_consensus') for
+    newly assigned docs only."""
+    doc_nodes = components.filter(F.col("node").startswith("d:")) \
+        .select(F.expr("substring(node, 3)").alias("doc_id"), "component")
+    votes = (doc_matches
+             .filter(F.col("confidence") > min_conf)
+             .join(doc_nodes, "doc_id")
+             .groupBy("component", "uprn")
+             .agg(F.count("*").alias("votes"),
+                  F.max("confidence").alias("max_conf")))
+    wv = Window.partitionBy("component").orderBy(
+        F.desc("votes"), F.desc("max_conf"), F.asc("uprn"))
+    winner = (votes
+              .withColumn("_rn", F.row_number().over(wv))
+              .filter(F.col("_rn") == 1)
+              .drop("_rn"))
+    stats = (doc_nodes
+             .join(doc_matches.select("doc_id", F.lit(1).alias("_m")),
+                   "doc_id", "left")
+             .groupBy("component")
+             .agg(F.count("*").alias("csize"),
+                  F.sum(F.coalesce("_m", F.lit(0))).alias("matched")))
+    winner = (winner.join(stats, "component")
+              .filter((F.col("csize") <= max_cluster) &
+                      (F.col("votes") >= min_votes) &
+                      (F.col("votes") >= F.col("matched") * vote_share)))
+    conf = (F.when(F.col("votes") >= 4, 0.95)
+            .when(F.col("votes") == 3, 0.90)
+            .otherwise(0.85))
+    unmatched = (all_docs.select("doc_id")
+                 .join(doc_matches.select("doc_id"), "doc_id", "left_anti"))
+    return (unmatched
+            .join(doc_nodes, "doc_id")
+            .join(winner.select("component", "uprn", conf.alias("confidence")),
+                  "component")
+            .select("doc_id", "uprn", "confidence",
+                    F.lit("cluster_consensus").alias("method")))
+
+
+def canonical_uprn_per_cluster(components: DataFrame,
+                               doc_matches: DataFrame) -> DataFrame:
+    """(component, canonical_uprn) — majority vote with the same
+    deterministic tie-break; the cluster's stable identity output."""
+    doc_nodes = components.filter(F.col("node").startswith("d:")) \
+        .select(F.expr("substring(node, 3)").alias("doc_id"), "component")
+    votes = (doc_matches.join(doc_nodes, "doc_id")
+             .groupBy("component", "uprn")
+             .agg(F.count("*").alias("votes"),
+                  F.max("confidence").alias("max_conf")))
+    wv = Window.partitionBy("component").orderBy(
+        F.desc("votes"), F.desc("max_conf"), F.asc("uprn"))
+    return (votes.withColumn("_rn", F.row_number().over(wv))
+            .filter(F.col("_rn") == 1)
+            .select("component", F.col("uprn").alias("canonical_uprn")))

@@ -1,0 +1,179 @@
+"""Pair feature computation + weighted scoring + conservative validation
+(SURVEY.md §2.4 F1-F11, §2.5 D1-D4).
+
+One Arrow pandas UDF computes all string-similarity features for a
+candidate-pair batch at once (trigram / Jaro / Levenshtein on the
+canonical strings plus street-level similarity); everything else —
+house-number logic, locality overlap, spatial boost, liveness, the
+weighted sum and the conservative validator — is plain column algebra
+that stays inside whole-stage codegen.
+
+Weights follow the reference's production fuzzy engine
+(internal/engine/fuzzy.go:287-331); the conservative validator's
+house-number-mandatory rule follows internal/validation/validator.go:
+25-96 (house mismatch => reject, not just a penalty — this is the rule
+that fixed the reference's '168 vs 147' false positives,
+validator_test.go:28-34).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from ..functions.similarity import (jaro_sim_batch, levenshtein_sim_batch,
+                                    trigram_sim_batch)
+
+PAIR_FEATURES_SCHEMA = StructType([
+    StructField("trgm", DoubleType()),
+    StructField("jaro", DoubleType()),
+    StructField("lev", DoubleType()),
+    StructField("street_sim", DoubleType()),
+])
+
+# D1 weights (reference: internal/engine/fuzzy.go:287-331)
+W = dict(trgm=0.50, jaro=0.40, locality=0.05, street=0.05, house=0.08,
+         alpha=0.02, phonetic=0.03, spatial=0.05, live=0.02,
+         nophon_penalty=0.03)
+
+
+def attach_pair_attrs(cands: DataFrame, uaddr: DataFrame,
+                      gazp: DataFrame) -> DataFrame:
+    """cands(addr_id, uprn, methods) x uaddr x gazp -> wide pair rows.
+    gazp may hold several variants per uprn (range expansion); all are
+    scored and the best survives the keep-best dedupe downstream."""
+    d = uaddr.select(
+        "addr_id",
+        F.col("addr_core").alias("d_core"),
+        F.col("postcode").alias("d_pc"),
+        F.col("tokens").alias("d_tokens"),
+        F.col("house_numbers").alias("d_house_numbers"),
+        F.col("c_house").alias("d_house"),
+        F.col("c_street").alias("d_street"),
+        F.col("c_locality").alias("d_locality"),
+        F.col("street_phonetic").alias("d_phon"),
+        F.col("is_vague").alias("d_vague"),
+        F.col("easting").alias("d_e"), F.col("northing").alias("d_n"))
+    g = gazp.select(
+        "uprn",
+        F.col("addr_core").alias("g_core"),
+        F.col("postcode").alias("g_pc"),
+        F.col("tokens").alias("g_tokens"),
+        F.col("house_numbers").alias("g_house_numbers"),
+        F.col("c_house").alias("g_house"),
+        F.col("c_street").alias("g_street"),
+        F.col("c_locality").alias("g_locality"),
+        F.col("street_phonetic").alias("g_phon"),
+        F.col("status_code").alias("g_status"),
+        F.col("source_type").alias("g_source_type"),
+        F.col("easting").alias("g_e"), F.col("northing").alias("g_n"))
+    return cands.join(d, "addr_id").join(g, "uprn")
+
+
+def with_pair_features(pairs: DataFrame) -> DataFrame:
+    """The hot-path Arrow UDF: all string sims in one batch pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(PAIR_FEATURES_SCHEMA)
+    def _feat(d_core: pd.Series, g_core: pd.Series,
+              d_street: pd.Series, g_street: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "trgm": trigram_sim_batch(d_core, g_core),
+            "jaro": jaro_sim_batch(d_core, g_core),
+            "lev": levenshtein_sim_batch(d_core, g_core),
+            "street_sim": trigram_sim_batch(d_street, g_street),
+        })
+
+    pairs = pairs.withColumn(
+        "_f", _feat("d_core", "g_core", "d_street", "g_street"))
+    return (pairs
+            .withColumn("trgm", F.col("_f.trgm"))
+            .withColumn("jaro", F.col("_f.jaro"))
+            .withColumn("lev", F.col("_f.lev"))
+            .withColumn("street_sim", F.col("_f.street_sim"))
+            .drop("_f"))
+
+
+def with_column_features(pairs: DataFrame) -> DataFrame:
+    """F6-F11: pure column expressions (whole-stage codegen)."""
+    house_overlap = F.when(
+        (F.size("d_house_numbers") > 0) & (F.size("g_house_numbers") > 0),
+        F.arrays_overlap("d_house_numbers", "g_house_numbers"))
+    norm_house = lambda c: F.regexp_replace(F.upper(F.coalesce(c, F.lit(""))),
+                                            r"[^0-9A-Z]", "")
+    same_house_exact = norm_house(F.col("d_house")) == norm_house(F.col("g_house"))
+    both_house = (F.col("d_house") != "") & (F.col("g_house") != "") & \
+        F.col("d_house").isNotNull() & F.col("g_house").isNotNull()
+    loc_overlap = F.when(
+        (F.col("d_locality") != "") & (F.col("g_locality") != ""),
+        F.size(F.array_intersect(F.split("d_locality", " "),
+                                 F.split("g_locality", " "))) /
+        F.greatest(F.least(F.size(F.split("d_locality", " ")),
+                           F.size(F.split("g_locality", " "))), F.lit(1))
+    ).otherwise(F.lit(0.0))
+    tok_overlap = F.when(
+        (F.size("d_tokens") > 0) & (F.size("g_tokens") > 0),
+        F.size(F.array_intersect("d_tokens", "g_tokens")) /
+        F.greatest(F.least(F.size("d_tokens"), F.size("g_tokens")), F.lit(1))
+    ).otherwise(F.lit(0.0))
+    dist = F.sqrt((F.col("d_e") - F.col("g_e")) ** 2 +
+                  (F.col("d_n") - F.col("g_n")) ** 2)
+    spatial_boost = F.when(
+        F.col("d_e").isNotNull() & F.col("g_e").isNotNull(),
+        F.exp(-dist / F.lit(300.0))).otherwise(F.lit(0.0))
+    pc_match = F.when((F.col("d_pc") != "") & (F.col("g_pc") != ""),
+                      F.col("d_pc") == F.col("g_pc"))
+    pc_district = F.when(
+        (F.col("d_pc") != "") & (F.col("g_pc") != ""),
+        F.substring_index("d_pc", " ", 1) == F.substring_index("g_pc", " ", 1))
+    return (pairs
+            .withColumn("house_match", F.coalesce(house_overlap, F.lit(False)))
+            .withColumn("house_exact", F.coalesce(both_house & same_house_exact,
+                                                  F.lit(False)))
+            .withColumn("house_conflict",
+                        F.coalesce(both_house & ~same_house_exact &
+                                   ~F.col("house_match"), F.lit(False)))
+            .withColumn("locality_sim",
+                        F.greatest(loc_overlap, tok_overlap * F.lit(0.5)))
+            .withColumn("phonetic_hit",
+                        F.coalesce((F.col("d_phon") != "") &
+                                   (F.col("d_phon") == F.col("g_phon")),
+                                   F.lit(False)))
+            .withColumn("spatial_boost", spatial_boost)
+            .withColumn("dist_m", F.when(F.col("d_e").isNotNull() &
+                                         F.col("g_e").isNotNull(), dist))
+            .withColumn("pc_match", F.coalesce(pc_match, F.lit(False)))
+            .withColumn("pc_district_match", F.coalesce(pc_district, F.lit(False)))
+            .withColumn("live", F.col("g_status") == "1"))
+
+
+def with_score(pairs: DataFrame) -> DataFrame:
+    """D1 weighted linear score, clamped to [0,1], then the conservative
+    house gate (D3/D4): both-present-and-different house numbers crush
+    the score x0.1 (engine_components_fixed.go:665-668 semantics)."""
+    raw = (F.lit(W["trgm"]) * F.col("trgm")
+           + F.lit(W["jaro"]) * F.col("jaro")
+           + F.lit(W["locality"]) * F.col("locality_sim")
+           + F.lit(W["street"]) * F.col("street_sim")
+           + F.when(F.col("house_match") | F.col("house_exact"),
+                    F.lit(W["house"])).otherwise(F.lit(0.0))
+           + F.when(F.col("house_exact"), F.lit(W["alpha"])).otherwise(F.lit(0.0))
+           + F.when(F.col("phonetic_hit"), F.lit(W["phonetic"])).otherwise(F.lit(0.0))
+           + F.lit(W["spatial"]) * F.col("spatial_boost")
+           + F.when(F.col("live"), F.lit(W["live"])).otherwise(F.lit(0.0))
+           - F.when(~F.col("phonetic_hit") & (F.col("trgm") < 0.85),
+                    F.lit(W["nophon_penalty"])).otherwise(F.lit(0.0))
+           + F.when(F.col("pc_match"), F.lit(0.05)).otherwise(F.lit(0.0)))
+    score = F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+    score = F.when(F.col("house_conflict"), score * F.lit(0.1)).otherwise(score)
+    # exact-canonical candidates score 0.99 regardless of fuzz
+    score = F.when(F.array_contains("methods", "exact_canonical"),
+                   F.greatest(score, F.lit(0.99))).otherwise(score)
+    valid = (~F.col("house_conflict")) & (
+        (F.col("street_sim") >= 0.90) | (F.col("trgm") >= 0.90) |
+        F.array_contains("methods", "exact_canonical"))
+    return (pairs
+            .withColumn("score", score)
+            .withColumn("validator_ok", valid))

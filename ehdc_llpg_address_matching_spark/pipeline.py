@@ -1,0 +1,178 @@
+"""End-to-end linkage pipeline (SURVEY.md §3.2's lifecycle, Spark-shaped):
+
+documents -> span extraction -> canonicalize -> components -> SymSpell
+-> phonetic -> dedup to unique addresses (J11) -> candidate union
+(exact ∪ blocked ∪ spatial ∪ rules ∪ vector) -> pair features (Arrow)
+-> weighted score -> conservative validation -> tiered decision ->
+fan-out to documents ∪ legacy-UPRN direct matches -> connected
+components -> cluster consensus -> matches / audit / metrics.
+
+Each phase's output can be checkpointed to a Warehouse (Iceberg
+snapshot / parquet manifest) for resume — the Spark analog of the
+reference's layer snapshots (cmd/matcher-v2/main.go:3389-3421).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.normalize import (STREET_SUFFIX_WORDS, clean_uprn_series,
+                                  with_canonical, with_components)
+from .functions.phonetic import with_street_phonetic
+from .functions.symspell import SymSpell, build_dictionary_from_gazetteer
+from .operators import candidates as C
+from .operators import decision as D
+from .operators import scoring as S
+from .operators.blocking import with_blocking_keys
+from .operators.cluster import (build_edges, canonical_uprn_per_cluster,
+                                cluster_consensus, connected_components)
+from .sources.documents import span_fingerprint, with_raw_address
+
+
+@dataclass
+class PipelineConfig:
+    thresholds: D.Thresholds = field(default_factory=D.Thresholds)
+    spatial_radius_m: float = 100.0
+    vector_top_k: int = 10
+    vector_min_sim: float = 0.70
+    enable_vector: bool = True
+    enable_spatial: bool = True
+    enable_symspell: bool = True
+    hot_key_threshold: int = 2000
+    n_salt: int = 8
+    top_k_audit: int = 10
+
+
+def normalize_documents(docs: DataFrame, symspell: SymSpell | None) -> DataFrame:
+    """Phase 1: derive raw_address from spans, canonicalize, parse,
+    correct spellings, phonetic-encode. Adds span_fp for the
+    span-sequence invariant check."""
+    d = docs
+    for col in ("raw_uprn", "easting", "northing", "group_key"):
+        if col not in d.columns:
+            d = d.withColumn(col, F.lit(None).cast(
+                "double" if col in ("easting", "northing") else "string"))
+    d = with_raw_address(d)
+    d = d.withColumn("span_fp", span_fingerprint())
+    d = with_canonical(d, raw_col="raw_address")
+    d = with_components(d, raw_col="raw_address")
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _clean_uprn(s: pd.Series) -> pd.Series:
+        return clean_uprn_series(s)
+
+    d = d.withColumn("uprn_clean", _clean_uprn(F.col("raw_uprn")))
+
+    if symspell is not None:
+        b = d.sparkSession.sparkContext.broadcast(symspell)
+
+        @pandas_udf(StringType())
+        def _correct(s: pd.Series) -> pd.Series:
+            return b.value.correct_tokens_series(s, skip=STREET_SUFFIX_WORDS)
+
+        d = (d.withColumn("addr_core", _correct(F.col("addr_core")))
+              .withColumn("c_street", _correct(F.col("c_street"))))
+    d = with_street_phonetic(d, street_col="c_street")
+    return d
+
+
+def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
+                 cfg: PipelineConfig | None = None) -> dict[str, DataFrame]:
+    cfg = cfg or PipelineConfig()
+
+    # --- phase: gazetteer prep (original ∪ range-expanded, keys, cache)
+    gazp = C.prepare_gazetteer(gaz)
+    gazp = gazp.cache()
+
+    # --- phase: document normalization (+ SymSpell vs gazetteer vocab)
+    sym = build_dictionary_from_gazetteer(gazp, addr_col="addr_core") \
+        if cfg.enable_symspell else None
+    docs_n = normalize_documents(docs, sym).cache()
+
+    # --- phase: dedup to unique addresses (J11) + blocking keys
+    uaddr = C.prepare_unique_addresses(docs_n)
+    uaddr = with_blocking_keys(uaddr).cache()
+
+    # --- phase: candidate union
+    gens = [
+        C.cand_exact_canonical(uaddr, gazp),
+        C.cand_blocked(uaddr, gazp, hot_threshold=cfg.hot_key_threshold,
+                       n_salt=cfg.n_salt),
+        C.cand_rule_rewrite(uaddr, gazp),
+    ]
+    if cfg.enable_spatial:
+        gens.append(C.cand_spatial(uaddr, gazp, radius_m=cfg.spatial_radius_m))
+    if cfg.enable_vector and "embedding" in gaz.columns:
+        gens.append(C.cand_vector(uaddr, gazp, embed_dim=0,
+                                  top_k=cfg.vector_top_k,
+                                  min_sim=cfg.vector_min_sim))
+    cands = C.union_candidates(*gens)
+
+    # --- phase: pair scoring
+    pairs = S.attach_pair_attrs(cands, uaddr, gazp)
+    pairs = S.with_pair_features(pairs)
+    pairs = S.with_column_features(pairs)
+    pairs = S.with_score(pairs)
+
+    # --- phase: decision
+    best = D.keep_best_per_uprn(pairs)
+    decided = D.decide(best, cfg.thresholds, top_k=cfg.top_k_audit).cache()
+    acc = D.accepted(decided)
+
+    # --- phase: fan-out to documents + legacy-UPRN overrides
+    addr_match = acc.select("addr_id", "uprn", "score", "confidence",
+                            F.array_join("methods", "+").alias("method"))
+    doc_addr = docs_n.join(
+        uaddr.select("addr_can", "addr_id"), "addr_can", "left")
+    fuzzy_doc = (doc_addr
+                 .join(addr_match, "addr_id", "inner")
+                 .select("doc_id", "uprn", "method", "score", "confidence"))
+    legacy = C.legacy_uprn_matches(docs_n, gazp) \
+        .withColumn("confidence", F.lit(1.0))
+    # legacy wins where both exist (reference precedence:
+    # ADDRESS_MATCHING_PROCESS.md:66-72 — deterministic beats fuzzy)
+    from pyspark.sql import Window
+    both = legacy.unionByName(fuzzy_doc)
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.desc("confidence"), F.desc("score"), F.asc("uprn"))
+    doc_matches = (both.withColumn("_rn", F.row_number().over(wd))
+                   .filter(F.col("_rn") == 1).drop("_rn")).cache()
+
+    # --- phase: connected components + consensus corrections
+    edges = build_edges(doc_matches, docs_n)
+    comps = connected_components(edges)
+    consensus = cluster_consensus(comps, doc_matches, docs_n)
+    matches = doc_matches.unionByName(
+        consensus.withColumn("score", F.col("confidence")),
+        allowMissingColumns=True)
+    clusters = canonical_uprn_per_cluster(comps, doc_matches)
+
+    # --- outputs: final matched docs with spans preserved (invariant),
+    #     audit candidates, run metrics (A1)
+    result = (docs_n
+              .select("doc_id", "spans", "span_fp", "raw_address",
+                      "addr_can", "postcode", "group_key")
+              .join(matches, "doc_id", "left"))
+    metrics = (decided.groupBy("decision")
+               .agg(F.count("*").alias("n"),
+                    F.avg("score").alias("avg_score")))
+    return {
+        "docs_normalized": docs_n,
+        "unique_addresses": uaddr,
+        "gazetteer_prepared": gazp,
+        "candidates": cands,
+        "audit_candidates": decided,
+        "doc_matches": doc_matches,
+        "consensus": consensus,
+        "components": comps,
+        "clusters": clusters,
+        "matches": matches,
+        "result": result,
+        "metrics": metrics,
+    }
