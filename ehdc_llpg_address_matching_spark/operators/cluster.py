@@ -69,10 +69,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if cur == prev_sig:
             break
         prev_sig = cur
-    # at convergence every edge is (member, root)
-    members = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
-    roots = e.select(F.col("b").alias("node"),
-                     F.col("b").alias("component")).distinct()
+    # at convergence every canonical edge is (root=min, member=max)
+    members = e.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    roots = e.select(F.col("a").alias("node"),
+                     F.col("a").alias("component")).distinct()
     comp = members.unionByName(roots)
     # a node may briefly appear with two labels pre-full-convergence: min wins
     return comp.groupBy("node").agg(F.min("component").alias("component"))

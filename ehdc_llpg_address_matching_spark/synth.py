@@ -274,6 +274,8 @@ def build_documents(cfg: SynthConfig, gaz: pd.DataFrame) -> tuple[pd.DataFrame, 
         group_key = f"APP/{2000 + group_no % 26}/{group_no:05d}"
         # one gazetteer target per group (consensus semantics)
         grow = gaz.iloc[rng.randrange(len(gaz))]
+        group_gold_rows = []
+        group_matchable = 0
         for _ in range(gsize):
             doc_id = f"D{i:07d}"
             unmatchable = rng.random() < cfg.unmatchable_frac
@@ -295,10 +297,21 @@ def build_documents(cfg: SynthConfig, gaz: pd.DataFrame) -> tuple[pd.DataFrame, 
             docs.append({"doc_id": doc_id, "spans": spans,
                          "raw_uprn": raw_uprn, "easting": easting,
                          "northing": northing, "group_key": group_key})
-            gold.append({"doc_id": doc_id, "uprn": true_uprn,
-                         "difficulty": profile, "group_key": group_key,
-                         "postcode": None if unmatchable else grow.postcode})
+            group_gold_rows.append(
+                {"doc_id": doc_id, "uprn": true_uprn,
+                 "difficulty": profile, "group_key": group_key,
+                 "postcode": None if unmatchable else grow.postcode})
+            if not unmatchable:
+                group_matchable += 1
             i += 1
+        # group-consensus semantics (reference: cmd/matcher-v2/main.go:
+        # 886-1012): an unmatchable doc inside a group with >=2 matchable
+        # members is EXPECTED to be corrected to the group winner
+        for row in group_gold_rows:
+            if row["uprn"] is None and group_matchable >= 2:
+                row["uprn"] = grow.uprn
+                row["difficulty"] = "consensus_rescue"
+        gold.extend(group_gold_rows)
     return pd.DataFrame(docs), pd.DataFrame(gold)
 
 

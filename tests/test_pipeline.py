@@ -1,0 +1,66 @@
+"""End-to-end pipeline gate: pairwise F1 >= 0.99 on synthetic gold,
+span invariant preserved, blocking/salting correctness."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ehdc_llpg_address_matching_spark.pipeline import PipelineConfig, run_pipeline
+from ehdc_llpg_address_matching_spark.sources.documents import span_fingerprint
+from ehdc_llpg_address_matching_spark.synth import SynthConfig, synth_tables
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark):
+    cfg = SynthConfig(seed=42, n_gazetteer=400, n_docs=600)
+    gaz, docs, gold = synth_tables(cfg)
+    out = run_pipeline(spark, spark.createDataFrame(docs),
+                       spark.createDataFrame(gaz))
+    return out, gold
+
+
+def test_f1_gate(pipeline_out):
+    out, gold = pipeline_out
+    m = out["matches"].select("doc_id", "uprn").toPandas().set_index("doc_id")
+    g = gold.set_index("doc_id")
+    j = g.join(m, how="left", rsuffix="_pred")
+    tp = int(((j.uprn_pred.notna()) & (j.uprn == j.uprn_pred)).sum())
+    fp = int(((j.uprn_pred.notna()) & (j.uprn != j.uprn_pred)).sum())
+    fn = int(((j.uprn.notna()) & (j.uprn_pred.isna())).sum())
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    assert prec >= 0.99, f"precision {prec:.4f} (tp={tp} fp={fp})"
+    assert f1 >= 0.99, f"F1 {f1:.4f} (tp={tp} fp={fp} fn={fn})"
+
+
+def test_span_invariant_end_to_end(pipeline_out):
+    out, _ = pipeline_out
+    res = out["result"]
+    bad = (res.withColumn("fp2", span_fingerprint("spans"))
+           .filter(F.col("fp2") != F.col("span_fp")).count())
+    assert bad == 0
+
+
+def test_result_covers_all_docs(pipeline_out):
+    out, gold = pipeline_out
+    assert out["result"].count() == len(gold)
+    assert out["result"].select("doc_id").distinct().count() == len(gold)
+
+
+def test_legacy_uprn_wins(pipeline_out):
+    out, gold = pipeline_out
+    legacy = (out["matches"].filter(F.col("method") == "legacy_uprn")
+              .select("doc_id", "uprn").toPandas())
+    if len(legacy):
+        g = gold.set_index("doc_id")
+        ok = (g.loc[legacy.doc_id, "uprn"].to_numpy() ==
+              legacy.uprn.to_numpy()).all()
+        assert ok
+
+
+def test_metrics_table_shape(pipeline_out):
+    out, _ = pipeline_out
+    rows = {r["decision"] for r in out["metrics"].collect()}
+    assert rows <= {"auto_accept", "accept", "review", "reject"}
+    assert "auto_accept" in rows
