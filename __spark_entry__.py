@@ -1,38 +1,540 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship run on /root/testdata/sf0.001.
+queries()      — one callable per implemented operator (SURVEY.md §2 +
+                 training-data ops), each (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL per query (omitted for the
+                 genuinely non-SQL-expressible ops: LSH/minhash/simhash
+                 signatures, connected components, the full linkage
+                 pipeline, media plumbing — those get rows-only checks;
+                 their real correctness gates live in tests/).
+
+Column names are aliased identically on both sides; float aggregates
+are rounded to fixed decimals on both sides so the driver's
+order-insensitive value hash is stable across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+EN_STOP_SQL = "('the','and','of','to','a','in','is','it','that','for','was','on','with','as','at','by','be','this')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- queries
+
+def q_a1_run_stats(spark, sf):
+    """A1 run statistics: groupBy + count + avg."""
+    return (_t(spark, sf, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+
+
+def q_a2_band_histogram(spark, sf):
+    """A2 score-band histogram: CASE-banded groupBy."""
+    return (_t(spark, sf, "events")
+            .withColumn("band", F.floor(F.col("value") / 20).cast("int"))
+            .groupBy("band").agg(F.count("*").alias("n")))
+
+
+def q_d6_topk_per_group(spark, sf):
+    """D6 top-k per group via row_number window."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (_t(spark, sf, "customer")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("c_nationkey", "c_custkey", "rnk"))
+
+
+def q_d5_winner_margin(spark, sf):
+    """D5 winner-margin decision: rank + lead + tier CASE."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    o = (_t(spark, sf, "orders")
+         .withColumn("rnk", F.row_number().over(w))
+         .withColumn("margin",
+                     F.col("o_totalprice") -
+                     F.coalesce(F.lead("o_totalprice", 1).over(w), F.lit(0.0)))
+         .filter(F.col("rnk") == 1))
+    return o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("best_orderkey"),
+        F.round("margin", 4).alias("margin"),
+        F.when(F.col("margin") >= 10000, "clear")
+         .when(F.col("margin") > 0, "narrow")
+         .otherwise("tie").alias("decision"))
+
+
+def q_anti_join_unmatched(spark, sf):
+    """Anti-join: customers with no orders (the unmatched-documents shape)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+            .select("c_custkey")
+
+
+def q_a3_semi_join_counts(spark, sf):
+    """Semi-join EXISTS probe + conditional aggregation per nation."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select("o_custkey").distinct()
+    n = _t(spark, sf, "nation")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name").agg(F.count("*").alias("n_matched")))
+
+
+def q_j11_dedup_fanout(spark, sf):
+    """J11 dedup-by-key then fan results back to all members."""
+    o = _t(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("cust_order_count"))
+    return o.join(per_cust, "o_custkey") \
+            .select("o_orderkey", "cust_order_count")
+
+
+def q_j1_broadcast_join(spark, sf):
+    """J1 broadcast equi-join vs the small dimension."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+def q_j2_ambiguity_count(spark, sf):
+    """J2 exact-join ambiguity detection (count>1 per key)."""
+    return (_t(spark, sf, "part")
+            .groupBy(F.col("p_type").alias("ptype"))
+            .agg(F.count("*").alias("type_count"))
+            .filter(F.col("type_count") > 1))
+
+
+def q_j10_range_expand(spark, sf):
+    """J10 range expansion: sequence + explode densification."""
+    return (_t(spark, sf, "part")
+            .withColumn("n", F.explode(F.sequence(
+                F.lit(1), F.least(F.col("p_size"), F.lit(3)))))
+            .select("p_partkey", "n"))
+
+
+def q_j6_grid_pairs(spark, sf):
+    """J6 spatial proximity as grid-cell blocking: pairs of events with
+    |value diff| <= 1.0, counted. Cell = floor(value); doc side explodes
+    into 3 neighbor cells; exact filter after the equi-join."""
+    e = _t(spark, sf, "events").select("event_id", "value")
+    a = (e.withColumn("d", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+         .select(F.col("event_id").alias("id_a"),
+                 F.col("value").alias("v_a"),
+                 (F.floor("value") + F.col("d")).alias("cell")))
+    b = e.select(F.col("event_id").alias("id_b"),
+                 F.col("value").alias("v_b"),
+                 F.floor("value").alias("cell"))
+    pairs = (a.join(b, "cell")
+             .filter((F.col("id_a") < F.col("id_b")) &
+                     (F.abs(F.col("v_a") - F.col("v_b")) <= 1.0))
+             .select("id_a", "id_b").distinct())
+    return pairs.agg(F.count("*").alias("n_pairs"))
+
+
+def q_g1_coalesce_overlay(spark, sf):
+    """Corrections overlay: COALESCE(corrected, original)."""
+    return (_t(spark, sf, "orders")
+            .select("o_orderkey",
+                    F.coalesce(
+                        F.when(F.col("o_orderstatus") == "F",
+                               F.lit("CORRECTED")),
+                        F.col("o_orderpriority")).alias("final_priority")))
+
+
+def q_d7_keep_best(spark, sf):
+    """D7 keep-best dedupe per key (max score, deterministic tiebreak)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (_t(spark, sf, "orders")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey",
+                    F.col("o_orderkey").alias("best_orderkey"),
+                    F.col("o_totalprice").alias("best_price")))
+
+
+def q_d8_banding(spark, sf):
+    """D8 decision-matrix banding."""
+    band = (F.when(F.col("o_totalprice") >= 150000, "GOOD")
+            .when(F.col("o_totalprice") >= 50000, "FAIR")
+            .otherwise("POOR"))
+    return (_t(spark, sf, "orders")
+            .groupBy(band.alias("band"))
+            .agg(F.count("*").alias("n")))
+
+
+def q_j5_hierarchical(spark, sf):
+    """J5 hierarchical cascade: most-specific level wins via COALESCE."""
+    o = _t(spark, sf, "orders")
+    l1 = (o.filter(F.col("o_orderstatus") == "O")
+          .groupBy("o_custkey").agg(F.max("o_orderkey").alias("k1")))
+    l2 = o.groupBy("o_custkey").agg(F.max("o_orderkey").alias("k2"))
+    c = _t(spark, sf, "customer")
+    j = (c.join(l1, c.c_custkey == l1.o_custkey, "left").drop("o_custkey")
+         .join(l2, c.c_custkey == l2.o_custkey, "left").drop("o_custkey"))
+    return j.select(
+        "c_custkey",
+        F.coalesce("k1", "k2").alias("chosen_order"),
+        F.when(F.col("k1").isNotNull(), 1)
+         .when(F.col("k2").isNotNull(), 2)
+         .otherwise(0).alias("level"))
+
+
+def q_n2_regex_extract(spark, sf):
+    """N2-style scalar regex chain (extract + upper + trim)."""
+    return (_t(spark, sf, "customer")
+            .select("c_custkey",
+                    F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+                    F.upper(F.trim("c_mktsegment")).alias("seg")))
+
+
+def q_text_token_stats(spark, sf):
+    """Token counting over the documents corpus."""
+    from ehdc_llpg_address_matching_spark.operators.textstats import \
+        with_token_stats
+    return (with_token_stats(_t(spark, sf, "documents"))
+            .select("doc_id", "char_count", "token_count", "bpe_token_count"))
+
+
+def q_text_quality(spark, sf):
+    """Quality scoring over the documents corpus."""
+    from ehdc_llpg_address_matching_spark.operators.textstats import \
+        with_quality
+    q = with_quality(_t(spark, sf, "documents"))
+    return q.select(
+        "doc_id",
+        F.round("alpha_ratio", 4).alias("alpha_ratio"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("quality_score", 4).alias("quality_score"))
+
+
+def q_text_lang_id(spark, sf):
+    """Heuristic language ID over the documents corpus."""
+    from ehdc_llpg_address_matching_spark.operators.textstats import \
+        with_lang_id
+    return with_lang_id(_t(spark, sf, "documents")) \
+        .select("doc_id", "lang_pred")
+
+
+def q_exact_dedup(spark, sf):
+    """Exact dedup: canonical id per identical text."""
+    from ehdc_llpg_address_matching_spark.operators.dedup import exact_dedup
+    return (exact_dedup(_t(spark, sf, "documents"))
+            .select("doc_id", "canonical_id", "is_duplicate"))
+
+
+def q_fingerprint(spark, sf):
+    """Document fingerprint (md5 of whitespace-normalized text)."""
+    d = _t(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def q_ann_top1(spark, sf):
+    """Brute-force cosine top-1 neighbor for the first 30 vectors."""
+    from ehdc_llpg_address_matching_spark.operators.ann import brute_force_topk
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    out = brute_force_topk(q, emb, k=1)
+    return out.select("query_id", "neighbor_id")
+
+
+def q_stream_windowed_counts(spark, sf):
+    """Streaming-shaped windowed aggregation, run in batch mode
+    (tumbling 1-minute windows by event_type)."""
+    return (_t(spark, sf, "events")
+            .groupBy(F.date_trunc("minute", F.col("ts")).alias("window_start"),
+                     "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+# ------------------------- non-SQL-expressible (rows-only checks) -------
+
+def q_minhash_lsh_pairs(spark, sf):
+    from ehdc_llpg_address_matching_spark.operators.dedup import \
+        minhash_lsh_pairs
+    return minhash_lsh_pairs(_t(spark, sf, "documents"),
+                             jaccard_threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf):
+    from ehdc_llpg_address_matching_spark.operators.dedup import simhash_pairs
+    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
+def q_lsh_ann_topk(spark, sf):
+    from ehdc_llpg_address_matching_spark.operators.ann import lsh_topk
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=3)
+
+
+def q_connected_components(spark, sf):
+    """Large-star/small-star CC over the bipartite customer-order graph."""
+    from ehdc_llpg_address_matching_spark.operators.cluster import \
+        connected_components
+    edges = (_t(spark, sf, "orders")
+             .select(F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+                     F.concat(F.lit("o:"), F.col("o_orderkey")).alias("dst")))
+    return connected_components(edges)
+
+
+def q_linkage_pipeline(spark, sf):
+    """The flagship: full linkage pipeline on a deterministic synthetic
+    spans-documents table (the BASELINE.json input shape). Rows-only
+    check here; the F1 gate lives in tests/test_pipeline.py."""
+    from ehdc_llpg_address_matching_spark.pipeline import (PipelineConfig,
+                                                           run_pipeline)
+    from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
+                                                        synth_tables)
+    gaz, docs, _gold = synth_tables(
+        SynthConfig(seed=11, n_gazetteer=150, n_docs=200))
+    out = run_pipeline(spark, spark.createDataFrame(docs),
+                       spark.createDataFrame(gaz),
+                       PipelineConfig(enable_vector=False))
+    return (out["matches"]
+            .select("doc_id", "uprn", "method",
+                    F.round("confidence", 4).alias("confidence"))
+            .orderBy("doc_id"))
+
+
+def q_media_metadata(spark, sf):
+    """Multimodal plumbing: metadata + resize plan over media refs
+    derived deterministically from the documents table."""
+    from ehdc_llpg_address_matching_spark.operators.media import (
+        resize_spec, with_media_metadata)
+    refs = (_t(spark, sf, "documents")
+            .select("doc_id",
+                    F.lit("image").alias("kind"),
+                    F.concat(F.lit("media://img/"), F.col("doc_id"),
+                             F.lit(".jpg")).alias("media_ref"),
+                    F.lit(0).alias("offset"))
+            .limit(100))
+    return resize_spec(with_media_metadata(refs)) \
+        .select("doc_id", "width", "height", "format",
+                "resized_w", "resized_h")
+
+
+# ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full linkage pipeline (synth spans docs) + a sanity
+    aggregation over the sf0.001 testdata to prove I/O."""
+    sf = "/root/testdata/sf0.001"
+    # touch the driver testdata so the smoke check exercises parquet I/O
+    _ = _t(spark, sf, "documents").count()
+    return q_linkage_pipeline(spark, sf)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "a1_run_stats": q_a1_run_stats,
+        "a2_band_histogram": q_a2_band_histogram,
+        "d6_topk_per_group": q_d6_topk_per_group,
+        "d5_winner_margin": q_d5_winner_margin,
+        "anti_join_unmatched": q_anti_join_unmatched,
+        "a3_semi_join_counts": q_a3_semi_join_counts,
+        "j11_dedup_fanout": q_j11_dedup_fanout,
+        "j1_broadcast_join": q_j1_broadcast_join,
+        "j2_ambiguity_count": q_j2_ambiguity_count,
+        "j10_range_expand": q_j10_range_expand,
+        "j6_grid_pairs": q_j6_grid_pairs,
+        "g1_coalesce_overlay": q_g1_coalesce_overlay,
+        "d7_keep_best": q_d7_keep_best,
+        "d8_banding": q_d8_banding,
+        "j5_hierarchical": q_j5_hierarchical,
+        "n2_regex_extract": q_n2_regex_extract,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "ann_top1": q_ann_top1,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        # rows-only (non-SQL-expressible)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "connected_components": q_connected_components,
+        "linkage_pipeline": q_linkage_pipeline,
+        "media_metadata": q_media_metadata,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_run_stats": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   ROUND(AVG(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY o_orderstatus""",
+        "a2_band_histogram": """
+            SELECT CAST(FLOOR(value / 20) AS INT) AS band, COUNT(*) AS n
+            FROM events GROUP BY 1""",
+        "d6_topk_per_group": """
+            SELECT c_nationkey, c_custkey, rnk FROM (
+              SELECT c_nationkey, c_custkey,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal DESC, c_custkey) AS rnk
+              FROM customer) WHERE rnk <= 3""",
+        "d5_winner_margin": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+                     o_totalprice - COALESCE(LEAD(o_totalprice, 1) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey), 0.0) AS margin
+              FROM orders)
+            SELECT o_custkey, o_orderkey AS best_orderkey,
+                   ROUND(margin, 4) AS margin,
+                   CASE WHEN margin >= 10000 THEN 'clear'
+                        WHEN margin > 0 THEN 'narrow'
+                        ELSE 'tie' END AS decision
+            FROM r WHERE rnk = 1""",
+        "anti_join_unmatched": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)""",
+        "a3_semi_join_counts": """
+            SELECT n_name, COUNT(*) AS n_matched
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+            GROUP BY n_name""",
+        "j11_dedup_fanout": """
+            SELECT o.o_orderkey, x.cust_order_count
+            FROM orders o JOIN (
+              SELECT o_custkey, COUNT(*) AS cust_order_count
+              FROM orders GROUP BY o_custkey) x
+            ON o.o_custkey = x.o_custkey""",
+        "j1_broadcast_join": """
+            SELECT n_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name""",
+        "j2_ambiguity_count": """
+            SELECT p_type AS ptype, COUNT(*) AS type_count
+            FROM part GROUP BY p_type HAVING COUNT(*) > 1""",
+        "j10_range_expand": """
+            SELECT p_partkey, CAST(u AS INT) AS n
+            FROM part, UNNEST(generate_series(1, LEAST(p_size, 3))) AS t(u)""",
+        "j6_grid_pairs": """
+            SELECT COUNT(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.event_id < b.event_id
+             AND ABS(a.value - b.value) <= 1.0""",
+        "g1_coalesce_overlay": """
+            SELECT o_orderkey,
+                   COALESCE(CASE WHEN o_orderstatus = 'F' THEN 'CORRECTED' END,
+                            o_orderpriority) AS final_priority
+            FROM orders""",
+        "d7_keep_best": """
+            SELECT o_custkey, o_orderkey AS best_orderkey,
+                   o_totalprice AS best_price FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn = 1""",
+        "d8_banding": """
+            SELECT CASE WHEN o_totalprice >= 150000 THEN 'GOOD'
+                        WHEN o_totalprice >= 50000 THEN 'FAIR'
+                        ELSE 'POOR' END AS band, COUNT(*) AS n
+            FROM orders GROUP BY 1""",
+        "j5_hierarchical": """
+            SELECT c.c_custkey,
+                   COALESCE(l1.k1, l2.k2) AS chosen_order,
+                   CASE WHEN l1.k1 IS NOT NULL THEN 1
+                        WHEN l2.k2 IS NOT NULL THEN 2
+                        ELSE 0 END AS level
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey, MAX(o_orderkey) AS k1 FROM orders
+                       WHERE o_orderstatus = 'O' GROUP BY o_custkey) l1
+              ON c.c_custkey = l1.o_custkey
+            LEFT JOIN (SELECT o_custkey, MAX(o_orderkey) AS k2 FROM orders
+                       GROUP BY o_custkey) l2
+              ON c.c_custkey = l2.o_custkey""",
+        "n2_regex_extract": """
+            SELECT c_custkey,
+                   COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
+                   UPPER(TRIM(c_mktsegment)) AS seg
+            FROM customer""",
+        "text_token_stats": r"""
+            SELECT doc_id,
+                   LENGTH(text) AS char_count,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE len(regexp_extract_all(TRIM(text), '\S+'))
+                   END AS token_count,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS bpe_token_count
+            FROM documents""",
+        "text_quality": r"""
+            WITH q AS (
+              SELECT doc_id,
+                GREATEST(LENGTH(text), 1) AS n,
+                LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                GREATEST(len(string_split_regex(TRIM(LOWER(text)), '\s+')), 1) AS ntok,
+                len(list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'),
+                                x -> x IN """ + EN_STOP_SQL + r""")) AS nstop
+              FROM documents)
+            SELECT doc_id,
+                   ROUND(n_alpha * 1.0 / n, 4) AS alpha_ratio,
+                   ROUND(n_punct * 1.0 / n, 4) AS punct_ratio,
+                   ROUND(nstop * 1.0 / ntok, 4) AS stopword_ratio,
+                   ROUND(LEAST(GREATEST(
+                     0.4 * (n_alpha * 1.0 / n) + 0.3 * (1.0 - n_punct * 1.0 / n)
+                     + 0.3 * LEAST(nstop * 5.0 / ntok, 1.0), 0.0), 1.0), 4)
+                   AS quality_score
+            FROM q""",
+        "text_lang_id": r"""
+            SELECT doc_id,
+              CASE WHEN
+                len(list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'),
+                    x -> x IN """ + EN_STOP_SQL + r""")) * 1.0 /
+                GREATEST(len(string_split_regex(TRIM(LOWER(text)), '\s+')), 1)
+                  >= 0.08
+                AND LENGTH(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) * 1.0 /
+                    GREATEST(LENGTH(text), 1) >= 0.9
+              THEN 'en' ELSE 'other' END AS lang_pred
+            FROM documents""",
+        "exact_dedup": """
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+                   doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate
+            FROM documents""",
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents""",
+        "ann_top1": """
+            SELECT query_id, neighbor_id FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                b.vec_id) AS rnk
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 30)
+            WHERE rnk = 1""",
+        "stream_windowed_counts": """
+            SELECT date_trunc('minute', ts) AS window_start, event_type,
+                   COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2""",
+    }

@@ -1,0 +1,135 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths over (id, embedding array<float>):
+
+  brute_force_topk — broadcast the corpus matrix, stream queries
+      through mapInPandas, one GEMM per Arrow batch + argpartition.
+      Exact; right whenever the corpus side fits in executor memory
+      (10^5-10^7 x small dim). This replaces the reference's in-memory
+      vector store scan (internal/engine/vector_db.go:68-118).
+
+  lsh_topk — random-hyperplane LSH: 16-bit sign buckets with B
+      independent tables; candidates = bucket collisions; exact cosine
+      re-rank on candidates. The scale path when neither side
+      broadcasts: only shuffles on short bucket keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _collect_matrix(corpus: DataFrame, id_col: str, vec_col: str):
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float32)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_self: bool = True) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank). Deterministic tie-break:
+    cosine desc, neighbor_id asc."""
+    spark = queries.sparkSession
+    ids, mat = _collect_matrix(corpus, id_col, vec_col)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def run(it):
+        cids = b_ids.value
+        cmat = b_mat.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            q = np.array(pdf[vec_col].to_list(), dtype=np.float32)
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = q @ cmat.T
+            qids = pdf[id_col].to_numpy()
+            if exclude_self:
+                for r, qid in enumerate(qids):
+                    same = np.nonzero(cids == qid)[0]
+                    sims[r, same] = -2.0
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for r in range(len(qids)):
+                cand = idx[r]
+                # deterministic order: cosine desc, neighbor id asc
+                order = np.lexsort((cids[cand], -sims[r, cand]))
+                cand = cand[order]
+                out_q.extend([qids[r]] * len(cand))
+                out_n.extend(cids[cand].tolist())
+                out_s.extend(sims[r, cand].astype(float).tolist())
+                out_r.extend(range(1, len(cand) + 1))
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "cosine": out_s, "rank": out_r})
+
+    qid_type = dict(queries.dtypes)[id_col]
+    return queries.select(id_col, vec_col).mapInPandas(
+        run, schema=f"query_id {qid_type}, neighbor_id {qid_type}, "
+                    f"cosine double, rank int")
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 12, n_tables: int = 4, dim: int | None = None,
+             seed: int = 7, exclude_self: bool = True) -> DataFrame:
+    """Random-hyperplane LSH: per table t, bucket = sign-bit string of
+    n_planes projections. Equi-join on (table, bucket), exact cosine on
+    collisions, top-k window. Recall < 1 by design; raise n_tables for
+    more recall, n_planes for more precision."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    rs = np.random.RandomState(seed)
+    planes = rs.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+    spark = queries.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        P = b_planes.value
+        V = np.array(vecs.to_list(), dtype=np.float32)  # (n, dim)
+        out = []
+        # (tables, n, planes) sign bits -> packed ints
+        for t in range(P.shape[0]):
+            proj = V @ P[t].T > 0
+            packed = (proj.astype(np.int64) <<
+                      np.arange(P.shape[1], dtype=np.int64)[None, :]).sum(axis=1)
+            out.append(packed)
+        arr = np.stack(out, axis=1)  # (n, tables)
+        return pd.Series([row.tolist() for row in arr])
+
+    def keyed(df, prefix):
+        return (df
+                .withColumn("_b", _buckets(F.col(vec_col)))
+                .select(F.col(id_col).alias(f"{prefix}_id"),
+                        F.col(vec_col).alias(f"{prefix}_vec"),
+                        F.posexplode("_b").alias("table", "bucket")))
+
+    qk = keyed(queries, "q")
+    ck = keyed(corpus, "c")
+    cand = qk.join(ck, ["table", "bucket"])
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("c_id"))
+    cand = cand.select("q_id", "c_id", "q_vec", "c_vec").distinct()
+    dot = F.aggregate(F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    qn = F.sqrt(F.aggregate(F.transform("q_vec", lambda a: a * a),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    cn = F.sqrt(F.aggregate(F.transform("c_vec", lambda a: a * a),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    cand = cand.withColumn("cosine", dot / F.greatest(qn * cn, F.lit(1e-12)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (cand
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("q_id").alias("query_id"),
+                    F.col("c_id").alias("neighbor_id"), "cosine", "rank"))

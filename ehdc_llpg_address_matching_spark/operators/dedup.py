@@ -1,0 +1,209 @@
+"""Corpus deduplication operators for training-data pipelines.
+
+Four families, all over a (id, text) table:
+  exact_dedup        — hash groupBy, canonical = min id         (no UDF)
+  minhash_lsh_pairs  — shingle -> minhash -> band -> bucket join; the
+                       scale path for near-dup at 10^12 docs
+  simhash_pairs      — 64-bit simhash, banded hamming join
+  ngram_jaccard_verify — exact Jaccard on candidate pairs (Arrow UDF)
+
+Scale shape: every family is (cheap per-row signature) -> (equi-join
+on a short bucket key) -> (exact verify on the small candidate set).
+No all-pairs anything; the only shuffles are on bucket keys, which
+are salted by construction (band index is part of the key).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, canonical_id, is_duplicate): groups rows by exact text hash,
+    canonical = min id in group. Pure built-ins."""
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (df
+            .withColumn("_h", F.sha2(F.col(text_col).cast("string"), 256))
+            .withColumn("canonical_id", F.min(id_col).over(
+                Window.partitionBy("_h")))
+            .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+            .drop("_h"))
+
+
+def _h64(s: str) -> int:
+    """Process-independent 63-bit string hash (crc32 halves; Python's
+    hash() is salted per process and would break determinism across
+    executors/runs)."""
+    b = s.encode()
+    return ((zlib.crc32(b) << 31) ^ zlib.crc32(b[::-1])) & 0x7FFFFFFFFFFFFFFF
+
+
+def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
+    """Per text: sorted unique 63-bit hashes of its k-token shingles
+    (token 5-grams; short docs fall back to the whole text)."""
+    out = []
+    for t in texts.fillna("").astype(str):
+        toks = t.lower().split()
+        if len(toks) < k:
+            sh = [" ".join(toks)] if toks else []
+        else:
+            sh = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = np.unique(np.array([_h64(s) for s in sh], dtype=np.int64))
+        out.append(hs)
+    return out
+
+
+def with_minhash(df: DataFrame, text_col: str = "text",
+                 num_hashes: int = 64, shingle_k: int = 5,
+                 seed: int = 1) -> DataFrame:
+    """Adds minhash: array<long> of length num_hashes. Vectorized:
+    one (n_shingles x num_hashes) affine-hash min per doc, NumPy inside
+    an Arrow UDF."""
+    rs = np.random.RandomState(seed)
+    A = rs.randint(1, MERSENNE, size=num_hashes, dtype=np.int64)
+    B = rs.randint(0, MERSENNE, size=num_hashes, dtype=np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(LongType()))
+    def _mh(texts: pd.Series) -> pd.Series:
+        res = []
+        for hs in _shingle_hashes(texts, k=shingle_k):
+            if len(hs) == 0:
+                res.append([0] * num_hashes)
+                continue
+            # (n, H): (a*h + b) mod p, then column-min
+            vals = (hs[:, None] * A[None, :] + B[None, :]) % MERSENNE
+            res.append(vals.min(axis=0).tolist())
+        return pd.Series(res)
+
+    return df.withColumn("minhash", _mh(F.col(text_col)))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 16, shingle_k: int = 5,
+                      jaccard_threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard) via banded LSH:
+    docs agreeing on ANY band's hash become candidates; estimated
+    Jaccard = fraction of agreeing minhashes; filter >= threshold."""
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df.select(id_col, text_col), text_col,
+                       num_hashes, shingle_k)
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    buckets = (sig
+               .withColumn("band", F.explode(band_ids))
+               .withColumn("band_hash", F.xxhash64(
+                   F.slice(F.col("minhash"),
+                           F.col("band") * rows_per_band + 1, rows_per_band),
+                   F.col("band")))
+               .select(id_col, "minhash", "band", "band_hash"))
+    a = buckets.select(F.col(id_col).alias("id_a"),
+                       F.col("minhash").alias("mh_a"), "band", "band_hash")
+    b = buckets.select(F.col(id_col).alias("id_b"),
+                       F.col("minhash").alias("mh_b"), "band", "band_hash")
+    cand = (a.join(b, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "mh_a", "mh_b")
+            .distinct())
+    est = (F.aggregate(
+        F.zip_with("mh_a", "mh_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(num_hashes))
+    return (cand
+            .withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over token hashes (unweighted): bit i of the
+    fingerprint = sign of sum over tokens of (+-1 per token-hash bit)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("").astype(str)):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = np.array([_h64(tok) for tok in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for bit in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(fp)
+        return pd.Series(out)
+
+    return df.withColumn("simhash", _sh(F.col(text_col)))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found by
+    banding the 64 bits into 4 x 16-bit chunks (pigeonhole: any pair at
+    hamming<=3 agrees on >=1 chunk) then verifying with bit_count."""
+    sig = with_simhash(df.select(id_col, text_col), text_col)
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+        for i in range(4)])
+    bucketed = (sig.withColumn("chunk_vals", chunks)
+                .select(id_col, "simhash",
+                        F.posexplode("chunk_vals").alias("chunk_idx", "chunk_val")))
+    a = bucketed.select(F.col(id_col).alias("id_a"),
+                        F.col("simhash").alias("sh_a"),
+                        "chunk_idx", "chunk_val")
+    b = bucketed.select(F.col(id_col).alias("id_b"),
+                        F.col("simhash").alias("sh_b"),
+                        "chunk_idx", "chunk_val")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (a.join(b, ["chunk_idx", "chunk_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .distinct()
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_verify(pairs: DataFrame, docs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         shingle_k: int = 5,
+                         threshold: float = 0.7) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs (the verify stage after
+    LSH). Arrow UDF, per-batch shingle-set cache."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    d = docs.select(F.col(id_col), F.col(text_col))
+    j = (pairs
+         .join(d.select(F.col(id_col).alias("id_a"),
+                        F.col(text_col).alias("text_a")), "id_a")
+         .join(d.select(F.col(id_col).alias("id_b"),
+                        F.col(text_col).alias("text_b")), "id_b"))
+
+    @pandas_udf(DoubleType())
+    def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        ha = _shingle_hashes(a, k=shingle_k)
+        hb = _shingle_hashes(b, k=shingle_k)
+        out = np.zeros(len(a))
+        for i in range(len(a)):
+            sa, sb = set(ha[i].tolist()), set(hb[i].tolist())
+            if sa and sb:
+                out[i] = len(sa & sb) / len(sa | sb)
+        return pd.Series(out)
+
+    return (j.withColumn("jaccard", _jac("text_a", "text_b"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,70 @@
+"""Structured-Streaming ingest for continuously arriving documents.
+
+The reference is pure batch (SURVEY.md §1.2 — its only streaming
+surface is a web SSE endpoint, out of engine scope), but a production
+linkage deployment ingests documents continuously. This module gives
+the engine a streaming front door that reuses the SAME batch operators
+via foreachBatch: each micro-batch is normalized + matched with the
+broadcast gazetteer artifacts and appended to the matches table —
+incremental linkage with exactly-once sink semantics when the sink is
+Iceberg (append + checkpointLocation).
+
+Also: watermarked windowed event aggregation over an event stream
+(the shape a metrics/audit stream needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.documents import DOCUMENTS_SCHEMA
+
+
+def read_document_stream(spark: SparkSession, path: str,
+                         max_files_per_trigger: int = 16) -> DataFrame:
+    """File-source stream of spans documents (parquet drop directory)."""
+    return (spark.readStream
+            .schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(path))
+
+
+def start_incremental_linkage(stream: DataFrame, gaz: DataFrame,
+                              out_path: str, checkpoint: str,
+                              cfg=None, available_now: bool = True):
+    """foreachBatch: run the batch pipeline per micro-batch. The
+    gazetteer artifacts are prepared once per batch here (at scale,
+    cache/prepare once outside and close over the prepared frame)."""
+    from ..pipeline import PipelineConfig, run_pipeline
+    cfg = cfg or PipelineConfig(enable_vector=False, enable_spatial=False,
+                                enable_symspell=False)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = run_pipeline(batch_df.sparkSession, batch_df, gaz, cfg)
+        (out["matches"]
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_path))
+
+    w = (stream.writeStream
+         .foreachBatch(process)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
+                          window: str = "1 minute",
+                          watermark: str = "5 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts by event_type — late data
+    beyond the watermark is dropped, state is bounded."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                     F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.avg("value").alias("avg_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n", "avg_value"))

@@ -1,0 +1,144 @@
+"""Training-data ops: dedup families, ANN, text stats, media plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ehdc_llpg_address_matching_spark.operators import ann, dedup, media, textstats
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog in the park"),
+        ("d2", "the quick brown fox jumps over the lazy dog in the park"),  # exact dup of d1
+        ("d3", "the quick brown fox jumps over the lazy dog in a park"),    # near dup
+        ("d4", "completely different text about spark dataframe joins and shuffles"),
+        ("d5", "short"),
+        ("d6", ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dedup(corpus):
+    out = dedup.exact_dedup(corpus).toPandas().set_index("doc_id")
+    assert out.loc["d2", "canonical_id"] == "d1"
+    assert bool(out.loc["d2", "is_duplicate"])
+    assert not bool(out.loc["d1", "is_duplicate"])
+    assert not bool(out.loc["d4", "is_duplicate"])
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    pairs = dedup.minhash_lsh_pairs(corpus, jaccard_threshold=0.5).toPandas()
+    got = {tuple(sorted((r.id_a, r.id_b))) for r in pairs.itertuples()}
+    assert ("d1", "d2") in got       # exact dup certainly collides
+    assert ("d1", "d3") in got or ("d2", "d3") in got  # near dup
+    assert ("d1", "d4") not in got
+
+
+def test_minhash_deterministic(corpus):
+    a = dedup.with_minhash(corpus).select("doc_id", "minhash").toPandas()
+    b = dedup.with_minhash(corpus).select("doc_id", "minhash").toPandas()
+    assert a.set_index("doc_id")["minhash"].map(tuple).to_dict() == \
+        b.set_index("doc_id")["minhash"].map(tuple).to_dict()
+
+
+def test_simhash_pairs(corpus):
+    pairs = dedup.simhash_pairs(corpus, max_hamming=6).toPandas()
+    got = {tuple(sorted((r.id_a, r.id_b))) for r in pairs.itertuples()}
+    assert ("d1", "d2") in got
+    assert ("d1", "d4") not in got
+
+
+def test_ngram_jaccard_verify(spark, corpus):
+    cand = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d3"), ("d1", "d4")], "id_a string, id_b string")
+    out = dedup.ngram_jaccard_verify(cand, corpus, threshold=0.3).toPandas()
+    got = dict(zip(zip(out.id_a, out.id_b), out.jaccard))
+    assert got[("d1", "d2")] == 1.0
+    assert ("d1", "d4") not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rs = np.random.RandomState(3)
+    base = rs.standard_normal((10, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # vec 100 = near-copy of vec 0
+    rows.append((100, [float(x) for x in base[0] + 0.01 * rs.standard_normal(16)]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    out = ann.brute_force_topk(vectors, vectors, k=3).toPandas()
+    top1 = out[(out.query_id == 100) & (out["rank"] == 1)].iloc[0]
+    assert top1.neighbor_id == 0
+    assert top1.cosine > 0.99
+    assert (out.groupby("query_id").size() == 3).all()
+
+
+def test_lsh_topk_finds_close_pair(vectors):
+    out = ann.lsh_topk(vectors, vectors, k=3, n_planes=8, n_tables=6).toPandas()
+    hits = out[(out.query_id == 100) & (out["rank"] == 1)]
+    assert len(hits) == 1 and hits.iloc[0].neighbor_id == 0
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([("a", "Hello, world! 42"), ("b", "")],
+                               "doc_id string, text string")
+    out = textstats.with_token_stats(df).toPandas().set_index("doc_id")
+    assert out.loc["a", "token_count"] == 3
+    assert out.loc["a", "bpe_token_count"] == 5  # Hello , world ! 42
+    assert out.loc["b", "token_count"] == 0
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [("en", "the cat sat on the mat and it was happy in the sun"),
+         ("junk", "@@@ ### $$$ %%% ^^^ &&&")],
+        "doc_id string, text string")
+    out = textstats.with_lang_id(textstats.with_quality(df)) \
+        .toPandas().set_index("doc_id")
+    assert out.loc["en", "quality_score"] > out.loc["junk", "quality_score"]
+    assert out.loc["en", "lang_pred"] == "en"
+    assert out.loc["junk", "lang_pred"] == "other"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello   world"), ("b", "hello world"), ("c", "other")],
+        "doc_id string, text string")
+    out = textstats.with_fingerprint(df).toPandas().set_index("doc_id")
+    assert out.loc["a", "fingerprint"] == out.loc["b", "fingerprint"]
+    assert out.loc["a", "fingerprint"] != out.loc["c", "fingerprint"]
+
+
+def test_media_pipeline_plumbing(spark):
+    df = spark.createDataFrame(
+        [("d1", "image", "media://img/1.jpg", 1),
+         ("d2", "pdf_page", "media://pdf/2.pdf", 0)],
+        "doc_id string, kind string, media_ref string, offset int")
+    meta = media.with_media_metadata(df)
+    rows = meta.toPandas().set_index("doc_id")
+    assert (rows["ok"]).all()
+    assert (rows["width"] > 0).all()
+    feats = media.with_media_features(df).toPandas()
+    assert all(len(v) == media.FEATURE_DIM for v in feats["media_embedding"])
+    # determinism
+    feats2 = media.with_media_features(df).toPandas()
+    assert np.allclose(np.array(feats["media_embedding"].to_list()),
+                       np.array(feats2["media_embedding"].to_list()))
+    resized = media.resize_spec(meta).toPandas()
+    assert (resized["resized_w"] <= 224).all()
+    assert (resized["resized_h"] <= 224).all()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([("d1", "video", "media://v/1.mp4", 0)],
+                               "doc_id string, kind string, media_ref string, offset int")
+    meta = media.with_media_metadata(df)
+    plan = media.frame_sample_plan(meta).toPandas()
+    assert len(plan) >= 1
+    assert (plan["frame_idx"] % 30 == 0).all()
