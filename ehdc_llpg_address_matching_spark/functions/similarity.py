@@ -64,7 +64,11 @@ def levenshtein_sim_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
 
 def jaro_sim_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
     """Full match-window Jaro (no Winkler prefix boost), as in the
-    reference's feature set (internal/match/features.go:365-426)."""
+    reference's feature set (internal/match/features.go:365-426).
+
+    2D sweep: one vectorized greedy-matching pass per character
+    position of A (no (n, L, L) tensor — memory traffic is the cost
+    driver at 10k-row Arrow batches)."""
     A, la = _char_matrix(a)
     B, lb = _char_matrix(b)
     n = len(la)
@@ -77,16 +81,17 @@ def jaro_sim_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
     B = B[:, :L]
     w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # match window per row
     ii = np.arange(L)
-    valid_a = ii[None, :] < la[:, None]
     valid_b = ii[None, :] < lb[:, None]
-    dist = np.abs(ii[:, None] - ii[None, :])  # (L, L)
-    E = (A[:, :, None] == B[:, None, :])
-    E &= valid_a[:, :, None] & valid_b[:, None, :]
-    E &= dist[None, :, :] <= w[:, None, None]
     used = np.zeros((n, L), bool)
     match_j = np.full((n, L), -1, np.int32)
     for i in range(L):
-        avail = E[:, i, :] & ~used
+        active = i < la
+        if not active.any():
+            break
+        avail = (B == A[:, i:i + 1]) & valid_b & ~used
+        avail &= (ii[None, :] >= (i - w)[:, None]) & \
+                 (ii[None, :] <= (i + w)[:, None])
+        avail &= active[:, None]
         has = avail.any(axis=1)
         j = np.argmax(avail, axis=1)
         match_j[has, i] = j[has]

@@ -58,17 +58,34 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges(src, dst) -> (node, component) where component is the
-    lexicographic min node id of the component. Deterministic."""
-    e = _canonical_edges(edges).localCheckpoint(eager=True)
-    prev_sig = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig = e.agg(F.count("*").alias("n"),
-                    F.expr("bit_xor(xxhash64(a, b))").alias("h")).collect()[0]
-        cur = (sig["n"], sig["h"])
-        if cur == prev_sig:
-            break
-        prev_sig = cur
+    lexicographic min node id of the component. Deterministic.
+
+    Each round is two groupBy/join stages + an eager localCheckpoint
+    (cuts lineage — without it the plan doubles every round). The edge
+    set is repartitioned once to a size proportional to its count so a
+    small graph doesn't pay 32-task fixed costs per round; at 10^12
+    scale the same heuristic yields thousands of partitions."""
+    e = _canonical_edges(edges)
+    n_edges = e.count()
+    npart = max(2, min(int(e.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")), n_edges // 250_000 + 1))
+    spark = e.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+    try:
+        e = e.repartition(npart, "a").localCheckpoint(eager=True)
+        prev_sig = None
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            sig = e.agg(F.count("*").alias("n"),
+                        F.expr("bit_xor(xxhash64(a, b))").alias("h")
+                        ).collect()[0]
+            cur = (sig["n"], sig["h"])
+            if cur == prev_sig:
+                break
+            prev_sig = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     # at convergence every canonical edge is (root=min, member=max)
     members = e.select(F.col("b").alias("node"), F.col("a").alias("component"))
     roots = e.select(F.col("a").alias("node"),

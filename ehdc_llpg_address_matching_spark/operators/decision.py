@@ -15,6 +15,21 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+# the columns the decision windows actually need — everything else
+# (canonical strings, token arrays, coordinates) should NOT ride through
+# the two window shuffles; at 10^12-doc scale the shuffle payload is the
+# cost, so project narrow first and join attributes back onto the
+# (small) surviving top-k for audit
+DECISION_COLS = [
+    "addr_id", "uprn", "methods", "score", "validator_ok", "d_vague",
+    "house_match", "house_exact", "g_source_type",
+]
+
+
+def narrow_for_decision(pairs: DataFrame) -> DataFrame:
+    return pairs.select(*DECISION_COLS)
+
+
 @dataclass(frozen=True)
 class Thresholds:
     """Production fuzzy-engine tiers (internal/engine/fuzzy.go:49-59)."""
@@ -27,13 +42,24 @@ class Thresholds:
 
 def keep_best_per_uprn(pairs: DataFrame) -> DataFrame:
     """D7: several gazetteer variants / methods can produce the same
-    (addr, uprn) — keep the max-score row, union the method sets."""
-    w = Window.partitionBy("addr_id", "uprn").orderBy(
-        F.desc("score"), F.asc("g_source_type"))
+    (addr, uprn) — keep the max-score row.
+
+    Implemented as groupBy + max_by (NOT a window): partial aggregation
+    combines map-side, so only one pre-reduced row per (addr, uprn)
+    crosses the shuffle — at 10^12 pairs the window formulation would
+    shuffle + sort every candidate row. Ordering key is made total
+    (score, original-before-expanded, g_core) so ties break
+    deterministically."""
+    cols = [c for c in pairs.columns if c not in ("addr_id", "uprn")]
+    order = F.struct(
+        F.col("score"),
+        (F.col("g_source_type") == "original").cast("int").alias("_orig"),
+        F.coalesce(F.col("g_core") if "g_core" in pairs.columns
+                   else F.lit(""), F.lit("")).alias("_tb"))
     return (pairs
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn"))
+            .groupBy("addr_id", "uprn")
+            .agg(F.max_by(F.struct(*cols), order).alias("_s"))
+            .select("addr_id", "uprn", "_s.*"))
 
 
 def decide(pairs: DataFrame, t: Thresholds = Thresholds(),

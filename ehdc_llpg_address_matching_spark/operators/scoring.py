@@ -29,9 +29,13 @@ from ..functions.similarity import (jaro_sim_batch, levenshtein_sim_batch,
 PAIR_FEATURES_SCHEMA = StructType([
     StructField("trgm", DoubleType()),
     StructField("jaro", DoubleType()),
-    StructField("lev", DoubleType()),
     StructField("street_sim", DoubleType()),
 ])
+
+# below this trigram similarity a pair cannot reach the decision floor
+# regardless of Jaro (D1 weights), so Jaro is skipped — the in-batch
+# analog of the reference's cheap-first cascade
+JARO_GATE = 0.10
 
 # D1 weights (reference: internal/engine/fuzzy.go:287-331)
 W = dict(trgm=0.50, jaro=0.40, locality=0.05, street=0.05, house=0.08,
@@ -73,16 +77,23 @@ def attach_pair_attrs(cands: DataFrame, uaddr: DataFrame,
 
 
 def with_pair_features(pairs: DataFrame) -> DataFrame:
-    """The hot-path Arrow UDF: all string sims in one batch pass."""
+    """The hot-path Arrow UDF: trigram first (cheap, hashed-gram sets),
+    Jaro only for pairs whose trigram clears JARO_GATE (the expensive
+    char-DP runs on the plausible subset only)."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(PAIR_FEATURES_SCHEMA)
     def _feat(d_core: pd.Series, g_core: pd.Series,
               d_street: pd.Series, g_street: pd.Series) -> pd.DataFrame:
+        trgm = trigram_sim_batch(d_core, g_core)
+        jaro = np.zeros(len(trgm))
+        m = trgm >= JARO_GATE
+        if m.any():
+            jaro[m] = jaro_sim_batch(d_core[m], g_core[m])
         return pd.DataFrame({
-            "trgm": trigram_sim_batch(d_core, g_core),
-            "jaro": jaro_sim_batch(d_core, g_core),
-            "lev": levenshtein_sim_batch(d_core, g_core),
+            "trgm": trgm,
+            "jaro": jaro,
             "street_sim": trigram_sim_batch(d_street, g_street),
         })
 
@@ -91,9 +102,38 @@ def with_pair_features(pairs: DataFrame) -> DataFrame:
     return (pairs
             .withColumn("trgm", F.col("_f.trgm"))
             .withColumn("jaro", F.col("_f.jaro"))
-            .withColumn("lev", F.col("_f.lev"))
             .withColumn("street_sim", F.col("_f.street_sim"))
             .drop("_f"))
+
+
+def prefilter_pairs(pairs: DataFrame) -> DataFrame:
+    """JVM-side cheap gate BEFORE the Arrow UDF: a blocked-join pair is
+    worth string-scoring only if it shares >=2 matching tokens, or a
+    house number, or the full postcode, or came from a non-blocking
+    generator (exact / rule / vector / spatial are already selective).
+    Cuts the Arrow-shipped pair count several-fold; whole-stage codegen
+    does the filtering next to the join."""
+    tok_cnt = F.size(F.array_intersect("d_tokens", "g_tokens"))
+    keep = (
+        (tok_cnt >= 2)
+        | F.coalesce(F.arrays_overlap("d_house_numbers", "g_house_numbers"),
+                     F.lit(False))
+        | ((F.col("d_pc") != "") & (F.col("d_pc") == F.col("g_pc")))
+        | (F.size(F.array_remove("methods", "blocked_fuzzy")) > 0))
+    return pairs.filter(keep)
+
+
+def with_audit_levenshtein(pairs: DataFrame) -> DataFrame:
+    """Normalized Levenshtein (F3) for the audit table — computed after
+    keep-best/top-k truncation, so the DP runs on survivors only."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _lev(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(levenshtein_sim_batch(a, b))
+
+    return pairs.withColumn("lev", _lev("d_core", "g_core"))
 
 
 def with_column_features(pairs: DataFrame) -> DataFrame:

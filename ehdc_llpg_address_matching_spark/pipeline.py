@@ -112,17 +112,26 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         gens.append(C.cand_vector(uaddr, gazp, embed_dim=0,
                                   top_k=cfg.vector_top_k,
                                   min_sim=cfg.vector_min_sim))
-    cands = C.union_candidates(*gens)
+    cands = C.union_candidates(*gens).cache()
 
-    # --- phase: pair scoring
+    # --- phase: pair scoring (cheap column features -> JVM prefilter ->
+    #     Arrow string-sim UDF -> weighted score)
     pairs = S.attach_pair_attrs(cands, uaddr, gazp)
-    pairs = S.with_pair_features(pairs)
     pairs = S.with_column_features(pairs)
+    pairs = S.prefilter_pairs(pairs)
+    pairs = S.with_pair_features(pairs)
     pairs = S.with_score(pairs)
 
-    # --- phase: decision
-    best = D.keep_best_per_uprn(pairs)
-    decided = D.decide(best, cfg.thresholds, top_k=cfg.top_k_audit).cache()
+    # --- phase: decision on NARROW columns (the wide pair payload must
+    #     not ride through the two window shuffles), then join the
+    #     canonical strings back onto the small top-k survivors for the
+    #     audit-only Levenshtein
+    best = D.keep_best_per_uprn(D.narrow_for_decision(pairs))
+    decided_narrow = D.decide(best, cfg.thresholds, top_k=cfg.top_k_audit)
+    pair_strs = pairs.select("addr_id", "uprn", "d_core", "g_core") \
+        .dropDuplicates(["addr_id", "uprn"])
+    decided = S.with_audit_levenshtein(
+        decided_narrow.join(pair_strs, ["addr_id", "uprn"], "left")).cache()
     acc = D.accepted(decided)
 
     # --- phase: fan-out to documents + legacy-UPRN overrides

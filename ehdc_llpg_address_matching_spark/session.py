@@ -24,6 +24,13 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # One BLAS thread per python worker: each task slot runs its own
+    # worker, and a K-thread OpenBLAS pool per worker thrashes the box
+    # (measured 4x slowdown at local[32]). Must be set before the JVM
+    # launches so workers inherit it.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     b = (
