@@ -132,6 +132,48 @@ def cand_blocked(uaddr: DataFrame, gazp: DataFrame,
     return pairs.withColumn("method", F.lit("blocked_fuzzy"))
 
 
+def cand_component_joins(uaddr: DataFrame, gazp: DataFrame) -> DataFrame:
+    """J4 component-equality strategies + J8 postcode-block join
+    (reference: internal/matcher/engine_components_fixed.go:201-241 +
+    internal/engine/postcode_matcher.go:143-248):
+      (a) postcode + house-number equality        -> 'comp_pc_house'
+      (b) street + locality + house equality      -> 'comp_street_loc'
+      (c) full-postcode block (J8)                -> 'postcode_block'
+    All plain equi-joins on parsed component columns; the strict
+    validator downstream enforces the house rule."""
+    nh = lambda c: F.regexp_replace(F.upper(F.coalesce(c, F.lit(""))),
+                                    r"[^0-9A-Z]", "")
+    d = uaddr.select("addr_id",
+                     F.col("postcode").alias("d_pc2"),
+                     nh(F.col("c_house")).alias("d_h"),
+                     F.col("c_street").alias("d_st"),
+                     F.col("c_locality").alias("d_loc"))
+    g = gazp.select("uprn",
+                    F.col("postcode").alias("g_pc2"),
+                    nh(F.col("c_house")).alias("g_h"),
+                    F.col("c_street").alias("g_st"),
+                    F.col("c_locality").alias("g_loc"))
+    a = (d.filter((F.col("d_pc2") != "") & (F.col("d_h") != ""))
+         .join(g.filter((F.col("g_pc2") != "") & (F.col("g_h") != "")),
+               (F.col("d_pc2") == F.col("g_pc2")) &
+               (F.col("d_h") == F.col("g_h")))
+         .select("addr_id", "uprn")
+         .withColumn("method", F.lit("comp_pc_house")))
+    b = (d.filter((F.col("d_st") != "") & (F.col("d_h") != "") &
+                  (F.col("d_loc") != ""))
+         .join(g, (F.col("d_st") == F.col("g_st")) &
+               (F.col("d_h") == F.col("g_h")) &
+               (F.col("d_loc") == F.col("g_loc")))
+         .select("addr_id", "uprn")
+         .withColumn("method", F.lit("comp_street_loc")))
+    c = (d.filter(F.col("d_pc2") != "")
+         .join(g.filter(F.col("g_pc2") != ""),
+               F.col("d_pc2") == F.col("g_pc2"))
+         .select("addr_id", "uprn")
+         .withColumn("method", F.lit("postcode_block")))
+    return a.unionByName(b).unionByName(c)
+
+
 def cand_spatial(uaddr: DataFrame, gazp: DataFrame,
                  radius_m: float = 100.0) -> DataFrame:
     """J6 spatial proximity as a grid-cell range join (reference:

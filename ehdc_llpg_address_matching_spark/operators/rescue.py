@@ -1,0 +1,66 @@
+"""G2 group fuzzy rescue (reference: cmd/matcher-v2/main.go:1367-1594).
+
+Groups (planning-app clusters) where NO member matched get one more
+chance: the group's longest address is re-matched against the
+gazetteer with relaxed thresholds, and a sufficiently-strong winner is
+fanned out to every member with confidence banded by similarity
+(0.65 / 0.75 / 0.85 — reference banding at :1538-1543).
+
+Spark shape: groupBy max_by(addr, length) -> blocked join on the
+prepared gazetteer -> trigram similarity UDF -> top-1 window ->
+join back to members. Runs on the (small) residue after the main
+cascade, so a broadcast join is fine at any corpus scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import DoubleType
+
+from ..functions.similarity import trigram_sim_batch
+
+
+def group_fuzzy_rescue(docs_n: DataFrame, doc_matches: DataFrame,
+                       gazp: DataFrame, group_col: str = "group_key",
+                       min_sim: float = 0.5) -> DataFrame:
+    """(doc_id, uprn, confidence, method='group_rescue') for members of
+    previously-unmatched groups."""
+    from pyspark.sql.functions import pandas_udf
+
+    members = docs_n.filter(F.col(group_col).isNotNull()) \
+        .select(group_col, "doc_id", "addr_core", "tokens")
+    matched_groups = (members.join(doc_matches.select("doc_id"), "doc_id")
+                      .select(group_col).distinct())
+    unmatched = members.join(matched_groups, group_col, "left_anti")
+    # representative: longest core address in the group (reference
+    # picks the longest "real" address, :1388-1420)
+    rep = (unmatched
+           .groupBy(group_col)
+           .agg(F.max_by(F.struct("addr_core", "tokens"),
+                         F.length("addr_core")).alias("_r"))
+           .select(group_col, F.col("_r.addr_core").alias("addr_core"),
+                   F.col("_r.tokens").alias("tokens")))
+    # candidates: token-overlap blocked join against the gazetteer
+    g = gazp.select("uprn", F.col("addr_core").alias("g_core"),
+                    F.col("tokens").alias("g_tokens"))
+    cand = (rep.join(g, F.size(F.array_intersect("tokens", "g_tokens")) >= 2)
+            .select(group_col, "addr_core", "uprn", "g_core"))
+
+    @pandas_udf(DoubleType())
+    def _sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(trigram_sim_batch(a, b))
+
+    cand = cand.withColumn("sim", _sim("addr_core", "g_core"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("sim"), F.asc("uprn"))
+    winner = (cand
+              .withColumn("_rn", F.row_number().over(w))
+              .filter((F.col("_rn") == 1) & (F.col("sim") >= min_sim))
+              .select(group_col, "uprn", "sim"))
+    conf = (F.when(F.col("sim") >= 0.8, 0.85)
+            .when(F.col("sim") >= 0.65, 0.75)
+            .otherwise(0.65))
+    return (unmatched.select(group_col, "doc_id")
+            .join(winner, group_col)
+            .select("doc_id", "uprn", conf.alias("confidence"),
+                    F.lit("group_rescue").alias("method")))

@@ -105,6 +105,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         C.cand_blocked(uaddr, gazp, hot_threshold=cfg.hot_key_threshold,
                        n_salt=cfg.n_salt),
         C.cand_rule_rewrite(uaddr, gazp),
+        C.cand_component_joins(uaddr, gazp),
     ]
     if cfg.enable_spatial:
         gens.append(C.cand_spatial(uaddr, gazp, radius_m=cfg.spatial_radius_m))
@@ -153,13 +154,25 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     doc_matches = (both.withColumn("_rn", F.row_number().over(wd))
                    .filter(F.col("_rn") == 1).drop("_rn")).cache()
 
-    # --- phase: connected components + consensus corrections
+    # --- phase: connected components + consensus corrections + G2 rescue
     edges = build_edges(doc_matches, docs_n)
     comps = connected_components(edges)
     consensus = cluster_consensus(comps, doc_matches, docs_n)
+    from .operators.rescue import group_fuzzy_rescue
+    rescue = group_fuzzy_rescue(docs_n, doc_matches, gazp)
     matches = doc_matches.unionByName(
         consensus.withColumn("score", F.col("confidence")),
+        allowMissingColumns=True).unionByName(
+        rescue.withColumn("score", F.col("confidence")),
         allowMissingColumns=True)
+    # consensus/rescue only touch previously-unmatched docs, but keep a
+    # deterministic one-row-per-doc guarantee regardless
+    matches = (matches
+               .groupBy("doc_id")
+               .agg(F.max_by(
+                   F.struct("uprn", "method", "score", "confidence"),
+                   F.struct("confidence", "score", "uprn")).alias("_m"))
+               .select("doc_id", "_m.*"))
     clusters = canonical_uprn_per_cluster(comps, doc_matches)
 
     # --- outputs: final matched docs with spans preserved (invariant),
