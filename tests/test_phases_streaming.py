@@ -1,0 +1,115 @@
+"""Phased runner resume semantics, lineage columns, warehouse, and the
+streaming front door."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ehdc_llpg_address_matching_spark.pipeline import PipelineConfig
+from ehdc_llpg_address_matching_spark.plans.phases import run_phased
+from ehdc_llpg_address_matching_spark.sources.catalog import Warehouse
+from ehdc_llpg_address_matching_spark.streaming.ingest import (
+    read_document_stream, start_incremental_linkage, windowed_event_counts)
+from ehdc_llpg_address_matching_spark.synth import SynthConfig, synth_tables
+
+CFG = PipelineConfig(enable_vector=False, enable_spatial=False,
+                     enable_symspell=False)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    gaz, docs, gold = synth_tables(SynthConfig(seed=5, n_gazetteer=150,
+                                               n_docs=200))
+    return spark.createDataFrame(docs), spark.createDataFrame(gaz), gold
+
+
+def test_phased_run_and_resume(spark, tmp_path, corpus):
+    docs, gaz, gold = corpus
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    out1 = run_phased(spark, docs, gaz, wh, run_id="r1", cfg=CFG)
+    n1 = out1["matches"].count()
+    assert n1 > 150
+    for ph in ["p1_gazetteer", "p2_normalize", "p3_candidates",
+               "p4_scoring", "p5_matches", "p6_cluster"]:
+        assert wh.phase_done(ph)
+    # lineage columns persisted on every saved table
+    saved = wh.load("audit_candidates")
+    for col in ["_run_id", "_phase", "_partition_id", "_written_at"]:
+        assert col in saved.columns
+    assert saved.select("_run_id").first()[0] == "r1"
+    assert saved.select("_phase").first()[0] == "p4_scoring"
+    assert saved.filter(F.col("_partition_id").isNull()).count() == 0
+
+    # resume: pass EMPTY docs — if phases actually resume from the
+    # warehouse, the output is identical to run 1; if anything
+    # recomputed from inputs it would collapse to 0 rows
+    empty = docs.limit(0)
+    out2 = run_phased(spark, empty, gaz, wh, run_id="r2", cfg=CFG)
+    assert out2["matches"].count() == n1
+    m1 = {(r["doc_id"], r["uprn"]) for r in out1["matches"].collect()}
+    m2 = {(r["doc_id"], r["uprn"]) for r in out2["matches"].collect()}
+    assert m1 == m2
+
+
+def test_warehouse_append_and_versions(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    df = spark.range(5).withColumnRenamed("id", "x")
+    wh.save(df, "t")
+    wh.save(df, "t", mode="append")
+    assert wh.load("t").count() == 10
+    wh.save(df, "t")  # overwrite resets
+    assert wh.load("t").count() == 5
+    assert wh.exists("t") and not wh.exists("nope")
+
+
+def test_streaming_incremental_linkage(spark, tmp_path, corpus):
+    docs, gaz, gold = corpus
+    src = str(tmp_path / "stream_in")
+    out = str(tmp_path / "stream_out")
+    chk = str(tmp_path / "chk")
+    respan = F.transform(
+        "spans", lambda s: F.struct(
+            s.kind.alias("kind"), s.text.alias("text"),
+            s.media_ref.alias("media_ref"),
+            s.offset.cast("int").alias("offset")))
+    docs.limit(60).select("doc_id", respan.alias("spans")).write.parquet(src)
+    stream = read_document_stream(spark, src)
+    assert stream.isStreaming
+    q = start_incremental_linkage(stream, gaz, out, chk, cfg=CFG)
+    q.awaitTermination(180)
+    res = spark.read.parquet(out)
+    assert res.count() >= 50
+    assert "batch_id" in res.columns
+    # exactly-once-ish: rerunning with the same checkpoint adds nothing
+    q2 = start_incremental_linkage(read_document_stream(spark, src),
+                                   gaz, out, chk, cfg=CFG)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == res.count()
+
+
+def test_windowed_event_counts_streaming_mode(spark, tmp_path):
+    src = str(tmp_path / "events_in")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30", "click", 1.0),
+         (2, "2024-01-01 00:00:45", "click", 3.0),
+         (3, "2024-01-01 00:02:10", "view", 5.0)],
+        "event_id long, ts string, event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .write.parquet(src)
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, event_type string, value double")
+              .parquet(src))
+    agg = windowed_event_counts(stream)
+    q = (agg.writeStream.format("memory").queryName("evt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has passed; with a
+    # finite source the final window stays open, so just check schema +
+    # no crash and the complete-mode batch equivalent
+    batch = windowed_event_counts(spark.read.parquet(src))
+    rows = {(str(r["window_start"]), r["event_type"]): r["n"]
+            for r in batch.collect()}
+    assert rows[("2024-01-01 00:00:00", "click")] == 2
+    assert rows[("2024-01-01 00:02:00", "view")] == 1
