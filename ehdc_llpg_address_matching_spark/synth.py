@@ -322,6 +322,23 @@ def synth_tables(cfg: SynthConfig | None = None):
     return gaz, docs, gold
 
 
+DOCS_ARROW_SCHEMA = None  # built lazily (pyarrow import)
+
+
+def _docs_arrow_schema():
+    """Explicit arrow schema so the spans offset is int32, matching the
+    BASELINE.json contract (pandas would infer int64)."""
+    import pyarrow as pa
+    span = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                      ("media_ref", pa.string()), ("offset", pa.int32())])
+    return pa.schema([("doc_id", pa.string()),
+                      ("spans", pa.list_(span)),
+                      ("raw_uprn", pa.string()),
+                      ("easting", pa.float64()),
+                      ("northing", pa.float64()),
+                      ("group_key", pa.string())])
+
+
 def write_parquet(out_dir: str, cfg: SynthConfig | None = None) -> dict[str, str]:
     """Materialize the three tables as parquet under ``out_dir``."""
     import os
@@ -330,6 +347,9 @@ def write_parquet(out_dir: str, cfg: SynthConfig | None = None) -> dict[str, str
     paths = {}
     for name, df in [("gazetteer", gaz), ("documents", docs), ("gold", gold)]:
         p = os.path.join(out_dir, f"{name}.parquet")
-        df.to_parquet(p, index=False)
+        if name == "documents":
+            df.to_parquet(p, index=False, schema=_docs_arrow_schema())
+        else:
+            df.to_parquet(p, index=False)
         paths[name] = p
     return paths

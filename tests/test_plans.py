@@ -1,0 +1,110 @@
+"""Physical-plan invariants: the properties that keep the engine fast
+at 100 TB, asserted so they can't silently regress."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ehdc_llpg_address_matching_spark.operators import candidates as C
+from ehdc_llpg_address_matching_spark.operators import decision as D
+from ehdc_llpg_address_matching_spark.operators import scoring as S
+from ehdc_llpg_address_matching_spark.operators.blocking import \
+    with_blocking_keys
+from ehdc_llpg_address_matching_spark.pipeline import normalize_documents
+from ehdc_llpg_address_matching_spark.plans.inspect import (physical_plan,
+                                                            plan_report,
+                                                            scan_read_schema)
+from ehdc_llpg_address_matching_spark.synth import SynthConfig, synth_tables
+
+
+@pytest.fixture(scope="module")
+def prepared(spark, tmp_path_factory):
+    gaz, docs, _ = synth_tables(SynthConfig(seed=2, n_gazetteer=120,
+                                            n_docs=150))
+    base = tmp_path_factory.mktemp("plans")
+    gp = str(base / "gaz.parquet")
+    spark.createDataFrame(gaz).write.parquet(gp)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    gazp = C.prepare_gazetteer(spark.read.parquet(gp)).cache()
+    docs_n = normalize_documents(spark.createDataFrame(docs), None).cache()
+    uaddr = with_blocking_keys(C.prepare_unique_addresses(docs_n)).cache()
+    # materialize so downstream plans read InMemoryTableScan instead of
+    # replaying the normalization UDvoid lineage
+    gazp.count(), docs_n.count(), uaddr.count()
+    return gazp, docs_n, uaddr, gp
+
+
+def test_legacy_uprn_join_is_broadcast(spark, prepared):
+    gazp, docs_n, _, _ = prepared
+    df = C.legacy_uprn_matches(docs_n, gazp)
+    r = plan_report(df)
+    assert r["broadcast_hash_joins"] >= 1
+    assert r["nested_loop_joins"] == 0
+
+
+def test_scoring_plan_single_arrow_eval(spark, prepared):
+    gazp, _, uaddr, _ = prepared
+    cands = C.union_candidates(C.cand_exact_canonical(uaddr, gazp))
+    pairs = S.attach_pair_attrs(cands, uaddr, gazp)
+    pairs = S.prefilter_pairs(S.with_column_features(pairs))
+    scored = S.with_score(S.with_pair_features(pairs))
+    decided = D.decide(D.keep_best_per_uprn(D.narrow_for_decision(scored)))
+    p = physical_plan(decided)
+    import re
+    # the expensive pair-scoring Arrow UDF must be evaluated exactly once
+    # (plan text also prints cached relations' stored plans, so count the
+    # scoring UDF by name, not every ArrowEvalPython node)
+    assert len(re.findall(r"ArrowEvalPython \[_feat", p)) == 1
+    # keep-best is an aggregation (map-side combinable), not a window
+    r = plan_report(decided)
+    assert r["hash_aggregates"] >= 2  # partial + final
+    assert r["nested_loop_joins"] == 0
+    # decide's rank+margin share ONE window spec over addr_id
+    assert len(re.findall(r"Window \[row_number", p)) == 1
+
+
+def test_prefilter_evaluated_before_arrow_udf(spark, prepared):
+    gazp, _, uaddr, _ = prepared
+    cands = C.union_candidates(C.cand_exact_canonical(uaddr, gazp))
+    pairs = S.prefilter_pairs(S.with_column_features(
+        S.attach_pair_attrs(cands, uaddr, gazp)))
+    scored = S.with_pair_features(pairs)
+    p = physical_plan(scored)
+    udf_pos = p.find("ArrowEvalPython")
+    # the cheap JVM gate must appear BELOW (after in tree-string order)
+    # the UDF node, i.e. closer to the scan
+    filter_pos = p.find("array_intersect", udf_pos)
+    assert udf_pos != -1 and filter_pos != -1, p[:500]
+
+
+def test_parquet_pushdown_and_pruning(spark, prepared):
+    *_, gp = prepared
+    df = (spark.read.parquet(gp)
+          .filter(F.col("status_code") == "1")
+          .select("uprn", "postcode"))
+    p = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(status_code), EqualTo(status_code,1)]" in p
+    schemas = scan_read_schema(df)
+    assert schemas and all(
+        set(s.split(",")[0].split(":")[0] for s in [sch]) and
+        "full_address" not in sch for sch in schemas), schemas
+
+
+def test_blocked_candidates_no_cartesian(spark, prepared):
+    gazp, _, uaddr, _ = prepared
+    df = C.cand_blocked(uaddr, gazp)
+    r = plan_report(df)
+    assert r["nested_loop_joins"] == 0
+    assert (r["sort_merge_joins"] + r["shuffled_hash_joins"]
+            + r["broadcast_hash_joins"]) >= 1
+
+
+def test_wholestage_codegen_covers_column_features(spark, prepared):
+    gazp, _, uaddr, _ = prepared
+    cands = C.union_candidates(C.cand_exact_canonical(uaddr, gazp))
+    pairs = S.with_column_features(S.attach_pair_attrs(cands, uaddr, gazp))
+    import re
+    p = physical_plan(pairs)
+    r = plan_report(pairs)
+    assert r["wholestage_codegen"] >= 1
+    # column features are pure JVM — no scoring UDF in this subplan
+    assert not re.findall(r"ArrowEvalPython \[_feat", p)
