@@ -140,10 +140,12 @@ def q_j6_grid_pairs(spark, sf):
     b = e.select(F.col("event_id").alias("id_b"),
                  F.col("value").alias("v_b"),
                  F.floor("value").alias("cell"))
+    # no distinct needed: for a fixed pair the cell offset d = cell_b -
+    # cell_a is unique, so each pair meets exactly once
     pairs = (a.join(b, "cell")
              .filter((F.col("id_a") < F.col("id_b")) &
                      (F.abs(F.col("v_a") - F.col("v_b")) <= 1.0))
-             .select("id_a", "id_b").distinct())
+             .select("id_a", "id_b"))
     return pairs.agg(F.count("*").alias("n_pairs"))
 
 

@@ -126,10 +126,11 @@ def cand_blocked(uaddr: DataFrame, gazp: DataFrame,
     gk = explode_keys(gazp, ["uprn"])
     dk, gk = salt_hot_keys(dk, gk, hot_threshold=hot_threshold,
                            n_salt=n_salt, doc_id_col="addr_id")
-    pairs = (dk.join(gk, ["block_kind", "block_key", "salt"], "inner")
-             .select("addr_id", "uprn")
-             .distinct())
-    return pairs.withColumn("method", F.lit("blocked_fuzzy"))
+    # no distinct here: a pair meeting under several keys is collapsed
+    # by union_candidates' groupBy — one shuffle instead of two
+    return (dk.join(gk, ["block_kind", "block_key", "salt"], "inner")
+            .select("addr_id", "uprn")
+            .withColumn("method", F.lit("blocked_fuzzy")))
 
 
 def cand_component_joins(uaddr: DataFrame, gazp: DataFrame) -> DataFrame:
@@ -200,10 +201,12 @@ def cand_spatial(uaddr: DataFrame, gazp: DataFrame,
                  F.floor(F.col("northing") / radius_m).alias("cell_y")))
     dist2 = (F.col("easting") - F.col("g_e")) ** 2 + \
             (F.col("northing") - F.col("g_n")) ** 2
+    # no distinct: a (doc, gaz-row) pair meets in exactly one neighbor
+    # cell; (addr_id, uprn) duplicates from expanded gazetteer variants
+    # are collapsed by union_candidates' groupBy anyway
     return (d.join(g, ["cell_x", "cell_y"], "inner")
             .filter(dist2 <= radius_m * radius_m)
             .select("addr_id", "uprn")
-            .distinct()
             .withColumn("method", F.lit("spatial")))
 
 
