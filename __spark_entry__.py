@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 EN_STOP_SQL = "('the','and','of','to','a','in','is','it','that','for','was','on','with','as','at','by','be','this')"
@@ -206,6 +207,34 @@ def q_n2_regex_extract(spark, sf):
                     F.upper(F.trim("c_mktsegment")).alias("seg")))
 
 
+def q_n1_canonicalize(spark, sf):
+    """N1 canonicalization chain through the real engine UDF, on
+    address-like strings built deterministically from customer columns
+    (uppercase -> postcode extract+respace -> punctuation strip ->
+    abbreviation expansion -> whitespace collapse)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ehdc_llpg_address_matching_spark.functions.normalize import \
+        CANON_SCHEMA, canonicalize_series
+
+    raw = F.concat(
+        (F.col("c_custkey") % 200).cast("string"),
+        F.lit(" High Rd, "), F.col("c_mktsegment"),
+        F.lit(", GU"), F.lpad((F.col("c_custkey") % 90).cast("string"),
+                              2, "0"),
+        F.lit("1AA"))
+
+    @pandas_udf(CANON_SCHEMA)
+    def _canon(s: pd.Series) -> pd.DataFrame:
+        return canonicalize_series(s)
+
+    return (_t(spark, sf, "customer")
+            .withColumn("_c", _canon(raw))
+            .select("c_custkey",
+                    F.col("_c.addr_can").alias("addr_can"),
+                    F.col("_c.postcode").alias("postcode")))
+
+
 def q_text_token_stats(spark, sf):
     """Token counting over the documents corpus."""
     from ehdc_llpg_address_matching_spark.operators.textstats import \
@@ -363,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_banding": q_d8_banding,
         "j5_hierarchical": q_j5_hierarchical,
         "n2_regex_extract": q_n2_regex_extract,
+        "n1_canonicalize": q_n1_canonicalize,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -478,6 +508,31 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
                    UPPER(TRIM(c_mktsegment)) AS seg
             FROM customer""",
+        "n1_canonicalize": r"""
+            WITH raw AS (
+              SELECT c_custkey,
+                     UPPER(CAST(c_custkey % 200 AS VARCHAR) || ' High Rd, '
+                           || c_mktsegment || ', GU'
+                           || lpad(CAST(c_custkey % 90 AS VARCHAR), 2, '0')
+                           || '1AA') AS s
+              FROM customer),
+            pc AS (
+              SELECT c_custkey, s,
+                     regexp_extract(s,
+                       '\b([A-Z]{1,2}[0-9][0-9A-Z]?)\s*([0-9][ABD-HJLNP-UW-Z]{2})\b',
+                       ['g1','g2']) AS m
+              FROM raw)
+            SELECT c_custkey,
+                   TRIM(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(s,
+                       '\b[A-Z]{1,2}[0-9][0-9A-Z]?\s*[0-9][ABD-HJLNP-UW-Z]{2}\b',
+                       ' '),
+                     '[^a-zA-Z0-9 \t-]', ' ', 'g'),
+                     '\bRD\b', 'ROAD', 'g'),
+                     '\s+', ' ', 'g')) AS addr_can,
+                   CASE WHEN m.g1 IS NULL THEN ''
+                        ELSE m.g1 || ' ' || m.g2 END AS postcode
+            FROM pc""",
         "text_token_stats": r"""
             SELECT doc_id,
                    LENGTH(text) AS char_count,

@@ -90,6 +90,8 @@ def pseudo_gold_from_deterministic(doc_matches: DataFrame,
     det = doc_matches.filter(
         F.col("method").contains("legacy_uprn") |
         F.col("method").contains("exact_canonical"))
-    return (det.join(docs_n.select("doc_id", "addr_can"), "doc_id")
-            .select(F.sha2(F.col("addr_can"), 256).alias("addr_id"), "uprn")
+    return (det.join(docs_n.select("doc_id", "addr_can", "postcode"),
+                     "doc_id")
+            .select(F.sha2(F.concat_ws("|", "addr_can", "postcode"), 256)
+                    .alias("addr_id"), "uprn")
             .distinct())

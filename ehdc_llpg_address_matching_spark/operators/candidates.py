@@ -78,9 +78,11 @@ def prepare_unique_addresses(docs_norm: DataFrame) -> DataFrame:
     back to documents later (reference: cmd/matcher-v2/enhanced_layer3.go:50-97).
     Representative coordinates = first non-null among sharing docs."""
     return (docs_norm
-            .groupBy("addr_can")
+            # postcode is part of the identity: '12 HIGH ST' with and
+            # without 'GU34 1AA' are different match problems (the
+            # postcode disambiguates twin canonical strings)
+            .groupBy("addr_can", "postcode")
             .agg(F.first("addr_core").alias("addr_core"),
-                 F.first("postcode").alias("postcode"),
                  F.first("tokens").alias("tokens"),
                  F.first("house_numbers").alias("house_numbers"),
                  F.first("c_house").alias("c_house"),
@@ -91,7 +93,8 @@ def prepare_unique_addresses(docs_norm: DataFrame) -> DataFrame:
                  F.first("is_vague").alias("is_vague"),
                  F.first("easting", ignorenulls=True).alias("easting"),
                  F.first("northing", ignorenulls=True).alias("northing"))
-            .withColumn("addr_id", F.sha2(F.col("addr_can"), 256)))
+            .withColumn("addr_id", F.sha2(
+                F.concat_ws("|", "addr_can", "postcode"), 256)))
 
 
 def legacy_uprn_matches(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:

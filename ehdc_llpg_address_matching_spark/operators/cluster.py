@@ -118,7 +118,8 @@ def cluster_consensus(components: DataFrame, doc_matches: DataFrame,
                       all_docs: DataFrame,
                       min_votes: int = 2, max_cluster: int = 200,
                       min_conf: float = 0.5,
-                      vote_share: float = 0.4) -> DataFrame:
+                      vote_share: float = 0.4,
+                      group_col: str | None = "group_key") -> DataFrame:
     """G1 consensus: per component, the UPRN with most votes among
     matches with confidence > min_conf wins (tie-break: max confidence,
     then min uprn); winners propagate to the component's unmatched docs
@@ -157,12 +158,32 @@ def cluster_consensus(components: DataFrame, doc_matches: DataFrame,
             .otherwise(0.85))
     unmatched = (all_docs.select("doc_id")
                  .join(doc_matches.select("doc_id"), "doc_id", "left_anti"))
-    return (unmatched
-            .join(doc_nodes, "doc_id")
-            .join(winner.select("component", "uprn", conf.alias("confidence")),
-                  "component")
-            .select("doc_id", "uprn", "confidence",
-                    F.lit("cluster_consensus").alias("method")))
+    assigned = (unmatched
+                .join(doc_nodes, "doc_id")
+                .join(winner.select("component", "uprn",
+                                    conf.alias("confidence")),
+                      "component")
+                .select("doc_id", "uprn", "confidence",
+                        F.lit("cluster_consensus").alias("method")))
+    if group_col and group_col in all_docs.columns:
+        # propagation gate (reference semantics, cmd/matcher-v2/main.go:
+        # 886-1012: the winner is applied to members of the GROUP that
+        # voted): an unmatched doc only receives the component winner if
+        # its own group contains >=1 direct voter for that UPRN —
+        # transitive component evidence strengthens the vote count but
+        # cannot reach into groups with no evidence of their own
+        voter_groups = (doc_matches
+                        .join(all_docs.select("doc_id", group_col), "doc_id")
+                        .groupBy(group_col, "uprn")
+                        .agg(F.count("*").alias("_gv"))
+                        .filter(F.col("_gv") >= min_votes)
+                        .select(group_col, "uprn"))
+        doc_groups = all_docs.select("doc_id", group_col)
+        assigned = (assigned
+                    .join(doc_groups, "doc_id")
+                    .join(voter_groups, [group_col, "uprn"], "left_semi")
+                    .drop(group_col))
+    return assigned
 
 
 def canonical_uprn_per_cluster(components: DataFrame,

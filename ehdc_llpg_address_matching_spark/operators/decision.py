@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 # (small) surviving top-k for audit
 DECISION_COLS = [
     "addr_id", "uprn", "methods", "score", "validator_ok", "d_vague",
-    "house_match", "house_exact", "g_source_type",
+    "house_match", "house_exact", "pc_match", "g_source_type",
 ]
 
 
@@ -73,16 +73,36 @@ def decide(pairs: DataFrame, t: Thresholds = Thresholds(),
       review      : rank 1, score>=review
       reject      : everything else
     """
-    w = Window.partitionBy("addr_id").orderBy(F.desc("score"), F.asc("uprn"))
+    # pc_match breaks score ties so the postcode-confirmed twin ranks
+    # first even when both clamp to the same score
+    w = Window.partitionBy("addr_id").orderBy(
+        F.desc("score"), F.desc("pc_match"), F.asc("uprn"))
+    is_exact = F.array_contains("methods", "exact_canonical")
     pairs = (pairs
              .withColumn("rank", F.row_number().over(w))
              .withColumn("margin",
                          F.col("score") -
                          F.coalesce(F.lead("score", 1).over(w), F.lit(0.0)))
+             .withColumn("_n_exact",
+                         F.sum(is_exact.cast("int")).over(
+                             Window.partitionBy("addr_id")))
+             .withColumn("_n_exact_pc",
+                         F.sum((is_exact & F.col("pc_match")).cast("int"))
+                         .over(Window.partitionBy("addr_id")))
              .filter(F.col("rank") <= top_k))
     is_top = F.col("rank") == 1
+    # unique exact hit, OR several exact hits of which exactly one also
+    # matches the full postcode (postcode disambiguates twins)
+    exact_unique = (is_exact & (F.col("_n_exact") == 1)) | \
+        (is_exact & F.col("pc_match") & (F.col("_n_exact_pc") == 1))
     decision = (
         F.when(~is_top | (F.col("score") < t.minimum), "reject")
+        # a UNIQUE exact-canonical hit auto-accepts regardless of the
+        # fuzzy margin to near-twin addresses (reference:
+        # internal/engine/deterministic.go:146-178 — 1 hit -> 0.99);
+        # truly ambiguous exact hits fall through to review
+        .when(is_top & exact_unique
+              & F.col("validator_ok") & ~F.col("d_vague"), "auto_accept")
         .when((F.col("score") >= t.high) & (F.col("margin") >= t.winner_margin)
               & F.col("validator_ok") & ~F.col("d_vague"), "auto_accept")
         # vague/descriptor addresses can still be accepted on a very

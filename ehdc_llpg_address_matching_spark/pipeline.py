@@ -139,7 +139,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     addr_match = acc.select("addr_id", "uprn", "score", "confidence",
                             F.array_join("methods", "+").alias("method"))
     doc_addr = docs_n.join(
-        uaddr.select("addr_can", "addr_id"), "addr_can", "left")
+        uaddr.select("addr_can", "postcode", "addr_id"),
+        ["addr_can", "postcode"], "left")
     fuzzy_doc = (doc_addr
                  .join(addr_match, "addr_id", "inner")
                  .select("doc_id", "uprn", "method", "score", "confidence"))

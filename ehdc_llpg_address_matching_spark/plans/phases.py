@@ -136,8 +136,9 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         acc = D.accepted(decided).select(
             "addr_id", "uprn", "score", "confidence",
             F.array_join("methods", "+").alias("method"))
-        doc_addr = docs_n.join(uaddr.select("addr_can", "addr_id"),
-                               "addr_can", "left")
+        doc_addr = docs_n.join(
+            uaddr.select("addr_can", "postcode", "addr_id"),
+            ["addr_can", "postcode"], "left")
         fuzzy_doc = doc_addr.join(acc, "addr_id").select(
             "doc_id", "uprn", "method", "score", "confidence")
         legacy = C.legacy_uprn_matches(docs_n, gazp) \

@@ -134,6 +134,7 @@ def build_gazetteer(cfg: SynthConfig) -> pd.DataFrame:
     uprn_base = 100000000
     n = cfg.n_gazetteer
     n_hot = int(n * cfg.hot_sector_frac)
+    seen_addr: set[str] = set()  # no twin addresses with different UPRNs
     for i in range(n):
         uprn = str(uprn_base + i * 7)
         if i < n_hot:
@@ -145,22 +146,37 @@ def build_gazetteer(cfg: SynthConfig) -> pd.DataFrame:
             district, ex, ny = loc_meta[loc]
             sector = f"{district} {rng.randrange(1, 10)}"
         postcode = f"{sector}{rng.choice('ABDEFGHJLNPQRSTUWXYZ')}{rng.choice('ABDEFGHJLNPQRSTUWXYZ')}"
-        street = f"{rng.choice(STREET_NAMES)} {rng.choice(STREET_SUFFIXES)}"
-        r = rng.random()
-        if r < 0.05:
-            house = None
-            pname = rng.choice(PROPERTY_NAMES)
-            full = f"{pname}, {street}, {loc}, {postcode}"
-        elif r < 0.08:
-            lo = rng.randrange(1, 80)
-            house = f"{lo}-{lo + rng.randrange(1, 3)}"   # range address (J10 input)
-            full = f"{house} {street}, {loc}, {postcode}"
-        elif r < 0.15:
-            house = f"{rng.randrange(1, 200)}{rng.choice('ABC')}"
-            full = f"{house} {street}, {loc}, {postcode}"
-        else:
-            house = str(rng.randrange(1, 200))
-            full = f"{house} {street}, {loc}, {postcode}"
+        # distinct (house, street, locality) per row: real gazetteers
+        # don't hold two UPRNs for the same rendered address, and twin
+        # addresses make gold labels unverifiable (ambiguity is correct
+        # engine behavior, not a match miss)
+        for _attempt in range(50):
+            street = f"{rng.choice(STREET_NAMES)} {rng.choice(STREET_SUFFIXES)}"
+            r = rng.random()
+            if r < 0.05:
+                house = None
+                pname = rng.choice(PROPERTY_NAMES)
+                full = f"{pname}, {street}, {loc}, {postcode}"
+                key = f"{pname}|{street}|{loc}"
+            elif r < 0.08:
+                lo = rng.randrange(1, 80)
+                hi = lo + rng.randrange(1, 3)
+                house = f"{lo}-{hi}"  # range (J10 input)
+                full = f"{house} {street}, {loc}, {postcode}"
+                # a range owns every expanded number on that street
+                key = [f"{k}|{street}|{loc}" for k in range(lo, hi + 1)]
+            elif r < 0.15:
+                house = f"{rng.randrange(1, 200)}{rng.choice('ABC')}"
+                full = f"{house} {street}, {loc}, {postcode}"
+                key = f"{house}|{street}|{loc}"
+            else:
+                house = str(rng.randrange(1, 200))
+                full = f"{house} {street}, {loc}, {postcode}"
+                key = f"{house}|{street}|{loc}"
+            keys = key if isinstance(key, list) else [key]
+            if not any(k in seen_addr for k in keys):
+                seen_addr.update(keys)
+                break
         rows.append({
             "uprn": uprn,
             "full_address": full,
