@@ -76,6 +76,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         e = e.repartition(npart, "a").localCheckpoint(eager=True)
         prev_sig = None
         for _ in range(max_iter):
+            # two star rounds per checkpoint: halves the materialization
+            # barriers; star graphs converge in 2-3 rounds anyway
+            e = _small_star(_large_star(e))
             e = _small_star(_large_star(e)).localCheckpoint(eager=True)
             sig = e.agg(F.count("*").alias("n"),
                         F.expr("bit_xor(xxhash64(a, b))").alias("h")
