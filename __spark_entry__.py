@@ -287,6 +287,31 @@ def q_ann_top1(spark, sf):
     return out.select("query_id", "neighbor_id")
 
 
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs among the first 100
+    vectors (cosine >= 0.22, id_a < id_b) — the brute-force baseline of
+    the near-dup family, JVM-side higher-order functions only."""
+    emb = (_t(spark, sf, "embeddings")
+           .filter(F.col("vec_id") < 100)
+           .withColumn("embedding",
+                       F.col("embedding").cast("array<double>")))
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("e_b"))
+    dot = F.aggregate(F.zip_with("e_a", "e_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("e_a", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("e_b", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    # ids-only output + off-boundary threshold: float ulp differences
+    # between engines cannot flip membership or the value hash
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(dot / F.greatest(na * nb, F.lit(1e-12)) >= 0.22005)
+            .select("id_a", "id_b"))
+
+
 def q_stream_windowed_counts(spark, sf):
     """Streaming-shaped windowed aggregation, run in batch mode
     (tumbling 1-minute windows by event_type)."""
@@ -399,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
         "ann_top1": q_ann_top1,
+        "embedding_near_dup": q_embedding_near_dup,
         "stream_windowed_counts": q_stream_windowed_counts,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -590,6 +616,13 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
               WHERE a.vec_id < 30)
             WHERE rnk = 1""",
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 100 AND b.vec_id < 100
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= 0.22005""",
         "stream_windowed_counts": """
             SELECT date_trunc('minute', ts) AS window_start, event_type,
                    COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value

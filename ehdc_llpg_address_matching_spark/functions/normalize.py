@@ -47,6 +47,14 @@ STREET_SUFFIX_WORDS = {
     "GARDENS", "CRESCENT", "PLACE", "COURT", "HILL", "SQUARE",
     "TERRACE", "PARK", "GROVE", "RISE", "WALK", "MEWS", "ROW",
 }
+# business-name normalization applied BEFORE punctuation strip
+# (reference: internal/normalize/enhanced.go:244-273)
+BUSINESS_SUBS = [
+    (r"\bM\s*&\s*S\b", "MARKS AND SPENCER"),
+    (r"\bCO-?OP\b", "COOPERATIVE"),
+    (r"\bLTD\.?\b", "LIMITED"),
+    (r"\bPLC\.?\b", "PLC"),
+]
 # noise/stop tokens dropped from the matching token set
 # (reference: internal/normalize/enhanced.go:196-243)
 STOP_TOKENS = {"THE", "OF", "AND", "AT", "TO", "NEAR", "OPPOSITE",
@@ -85,6 +93,8 @@ def canonicalize_series(raw: pd.Series) -> pd.DataFrame:
     s = s.str.replace(POSTCODE_RE, " ", regex=True)
     # ST. -> SAINT before punctuation strip (address_test.go:49-52 case)
     s = s.str.replace(r"\bST\.", "SAINT", regex=True)
+    for pat, rep in BUSINESS_SUBS:  # N5 — before '&' and punctuation pass
+        s = s.str.replace(pat, rep, regex=True)
     s = s.str.replace("&", " AND ", regex=False)
     s = s.str.replace(r"[^\w\s-]", " ", regex=True)     # drop punctuation
     s = s.str.replace(r"(?<!\d)-|-(?!\d)", " ", regex=True)  # keep 10-12 ranges

@@ -58,6 +58,15 @@ def test_house_numbers():
     assert hn2 == ["12A"]
 
 
+def test_business_name_normalization():
+    # N5 (reference: internal/normalize/enhanced.go:244-273)
+    out = canonicalize_series(pd.Series([
+        "M&S, 1 High St, Alton", "The Co-op, 2 High St", "Smith & Son Ltd."]))
+    assert out["addr_can"].iloc[0].startswith("MARKS AND SPENCER 1 HIGH")
+    assert out["addr_can"].iloc[1] == "THE COOPERATIVE 2 HIGH STREET"
+    assert out["addr_can"].iloc[2] == "SMITH AND SON LIMITED"
+
+
 def test_vague_gate():
     v = is_vague_series(pd.Series([
         "LAND AT CHURCH FARM", "REAR OF 12 HIGH ST", "12 HIGH STREET"]))
