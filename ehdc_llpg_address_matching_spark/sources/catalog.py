@@ -93,6 +93,32 @@ class Warehouse:
             df = df.unionByName(self.spark.read.parquet(p))
         return df
 
+    def upsert(self, df: DataFrame, name: str, key: list[str]) -> None:
+        """MERGE-style upsert: new rows win over existing rows with the
+        same key (the reference's ON CONFLICT (src_id) DO UPDATE,
+        internal/engine/matcher.go:118-127). Iceberg: MERGE INTO; the
+        parquet fallback rewrites the table as (existing anti-join new)
+        ∪ new."""
+        if self.use_iceberg:
+            df.createOrReplaceTempView("_upsert_src")
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in key)
+            sets = ", ".join(f"t.{c} = s.{c}" for c in df.columns
+                             if c not in key)
+            self.spark.sql(
+                f"MERGE INTO {self.catalog}.{name} t USING _upsert_src s "
+                f"ON {cond} WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT *")
+            return
+        if self.exists(name):
+            existing = self.load(name)
+            kept = existing.join(df.select(*key).distinct(), key, "left_anti")
+            merged = kept.unionByName(df, allowMissingColumns=True)
+        else:
+            merged = df
+        # materialize before overwriting the files we read from
+        merged = merged.localCheckpoint(eager=True)
+        self.save(merged, name, mode="overwrite")
+
     def exists(self, name: str) -> bool:
         if self.use_iceberg:
             return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
