@@ -55,6 +55,42 @@ def start_incremental_linkage(stream: DataFrame, gaz: DataFrame,
     return w.start()
 
 
+def streaming_dedup(stream: DataFrame, fingerprint_col: str = "fingerprint",
+                    id_col: str = "doc_id"):
+    """Custom stateful streaming operator: exactly-once-per-fingerprint
+    emission across the whole stream via applyInPandasWithState.
+
+    State = per-fingerprint seen flag (GroupState, no timeout — a real
+    deployment sets a TTL via GroupStateTimeout + watermark). Only the
+    FIRST document carrying each fingerprint passes; later duplicates,
+    including ones arriving in later micro-batches, are dropped. This is
+    the streaming face of operators/dedup.exact_dedup."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{id_col} string, {fingerprint_col} long"
+    state_schema = "seen boolean"
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.exists:
+            return iter(())
+        state.update((True,))
+        import pandas as pd
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                first = pdf.iloc[[0]][[id_col, fingerprint_col]]
+                break
+        return iter(()) if first is None else iter([first])
+
+    return (stream
+            .groupBy(fingerprint_col)
+            .applyInPandasWithState(
+                dedup_fn, outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           window: str = "1 minute",
                           watermark: str = "5 minutes") -> DataFrame:

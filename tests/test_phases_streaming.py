@@ -113,3 +113,37 @@ def test_windowed_event_counts_streaming_mode(spark, tmp_path):
             for r in batch.collect()}
     assert rows[("2024-01-01 00:00:00", "click")] == 2
     assert rows[("2024-01-01 00:02:00", "view")] == 1
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    from ehdc_llpg_address_matching_spark.streaming.ingest import \
+        streaming_dedup
+    src = str(tmp_path / "dedup_in")
+    # batch 1: two docs sharing a fingerprint + one unique
+    spark.createDataFrame(
+        [("a", 11), ("b", 11), ("c", 22)],
+        "doc_id string, fingerprint long").write.parquet(src)
+    sink = str(tmp_path / "dedup_out")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("doc_id string, fingerprint long").parquet(src))
+        q = (streaming_dedup(stream).writeStream
+             .format("parquet").option("path", sink)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "chk"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {r["fingerprint"] for r in spark.read.parquet(sink).collect()}
+    assert got1 == {11, 22}
+    # batch 2 (later files): duplicate of 11 must be suppressed by the
+    # state persisted in the checkpoint; 33 is new
+    spark.createDataFrame([("d", 11), ("e", 33)],
+                          "doc_id string, fingerprint long") \
+        .write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    fps = sorted(r["fingerprint"] for r in rows)
+    assert fps == [11, 22, 33]  # 11 emitted exactly once across batches
