@@ -359,11 +359,12 @@ def q_linkage_pipeline(spark, sf):
     from ehdc_llpg_address_matching_spark.pipeline import (PipelineConfig,
                                                            run_pipeline)
     from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
-                                                        synth_tables)
-    gaz, docs, _gold = synth_tables(
-        SynthConfig(seed=11, n_gazetteer=150, n_docs=200))
-    out = run_pipeline(spark, spark.createDataFrame(docs),
-                       spark.createDataFrame(gaz),
+                                                        synth_spark_tables)
+    # explicit schemas: the driver's harness session has no Arrow config,
+    # so createDataFrame must never hit pandas schema inference
+    gaz_df, docs_df, _gold = synth_spark_tables(
+        spark, SynthConfig(seed=11, n_gazetteer=150, n_docs=200))
+    out = run_pipeline(spark, docs_df, gaz_df,
                        PipelineConfig(enable_vector=False))
     return (out["matches"]
             .select("doc_id", "uprn", "method",

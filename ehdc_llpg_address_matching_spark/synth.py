@@ -193,7 +193,12 @@ def build_gazetteer(cfg: SynthConfig) -> pd.DataFrame:
         })
     gaz = pd.DataFrame(rows)
     addr_for_embed = gaz["full_address"].str.upper().str.replace(",", "", regex=False)
-    gaz["embedding"] = [_hash_embed(a, cfg.embed_dim) for a in addr_for_embed]
+    # plain Python list[float] — numpy float32 ndarrays break
+    # spark.createDataFrame schema inference on sessions without Arrow
+    # (the round-1 driver-harness failure: CANNOT_INFER_TYPE_FOR_FIELD)
+    gaz["embedding"] = [
+        [float(x) for x in _hash_embed(a, cfg.embed_dim)] for a in addr_for_embed
+    ]
     return gaz
 
 
@@ -336,6 +341,30 @@ def synth_tables(cfg: SynthConfig | None = None):
     gaz = build_gazetteer(cfg)
     docs, gold = build_documents(cfg, gaz)
     return gaz, docs, gold
+
+
+# Explicit Spark schemas: createDataFrame(pandas) must never rely on
+# inference — the driver harness runs a bare SparkSession (no Arrow
+# config) where inference is both slow and fragile.
+DOCS_SPARK_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "raw_uprn string, easting double, northing double, group_key string")
+
+GAZ_SPARK_SCHEMA = (
+    "uprn string, full_address string, house_number string, street string, "
+    "locality string, postcode string, usrn string, blpu_class string, "
+    "status_code string, postal_flag boolean, easting double, "
+    "northing double, embedding array<float>")
+
+
+def synth_spark_tables(spark, cfg: SynthConfig | None = None):
+    """(gaz_df, docs_df, gold_pandas): the synthetic tables as Spark
+    DataFrames with explicit schemas (inference-proof on any session)."""
+    gaz, docs, gold = synth_tables(cfg)
+    gaz_df = spark.createDataFrame(gaz, schema=GAZ_SPARK_SCHEMA)
+    docs_df = spark.createDataFrame(docs, schema=DOCS_SPARK_SCHEMA)
+    return gaz_df, docs_df, gold
 
 
 DOCS_ARROW_SCHEMA = None  # built lazily (pyarrow import)
