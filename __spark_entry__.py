@@ -23,6 +23,31 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 EN_STOP_SQL = "('the','and','of','to','a','in','is','it','that','for','was','on','with','as','at','by','be','this')"
 
+# token 5-gram shingle sets + set Jaccard, mirroring
+# operators/dedup._shingle_hashes (hashing is injective in practice:
+# 63-bit space vs ~10^2 shingles/doc)
+NEAR_DUP_ORACLE_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN []
+                  WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                                     i -> array_to_string(toks[i:i+4], ' ')))
+             END AS sh
+      FROM t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+          len(list_distinct(a.sh || b.sh)) >= 0.5"""
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -325,25 +350,38 @@ def q_stream_windowed_counts(spark, sf):
 # ------------------------- non-SQL-expressible (rows-only checks) -------
 
 def q_minhash_lsh_pairs(spark, sf):
+    """MinHash-LSH candidates + EXACT shingle-Jaccard verify: the output
+    is the exact all-pairs near-dup answer (oracle-checked vs a DuckDB
+    all-pairs Jaccard join) produced without any all-pairs stage."""
     from ehdc_llpg_address_matching_spark.operators.dedup import \
-        minhash_lsh_pairs
-    return minhash_lsh_pairs(_t(spark, sf, "documents"),
+        minhash_near_dup
+    return (minhash_near_dup(_t(spark, sf, "documents"),
                              jaccard_threshold=0.5)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
 
 
 def q_simhash_pairs(spark, sf):
-    from ehdc_llpg_address_matching_spark.operators.dedup import simhash_pairs
-    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+    """SimHash-banded candidates + exact shingle-Jaccard verify — the
+    second candidate generator against the same exact oracle."""
+    from ehdc_llpg_address_matching_spark.operators.dedup import \
+        simhash_near_dup
+    return (simhash_near_dup(_t(spark, sf, "documents"),
+                             jaccard_threshold=0.5)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
 
 
 def q_lsh_ann_topk(spark, sf):
     from ehdc_llpg_address_matching_spark.operators.ann import lsh_topk
     emb = _t(spark, sf, "embeddings")
-    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=3)
+    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=3, dim=64)
 
 
 def q_connected_components(spark, sf):
-    """Large-star/small-star CC over the bipartite customer-order graph."""
+    """Large-star/small-star CC over the bipartite customer-order graph.
+    Oracle-checkable: each component is one customer plus its orders and
+    'c:<custkey>' is always the lexicographic min node, so the expected
+    labeling has a closed form in SQL (non-trivial CC topologies are
+    pytest-gated in tests/test_cluster.py)."""
     from ehdc_llpg_address_matching_spark.operators.cluster import \
         connected_components
     edges = (_t(spark, sf, "orders")
@@ -628,4 +666,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('minute', ts) AS window_start, event_type,
                    COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
             FROM events GROUP BY 1, 2""",
+        # exact all-pairs shingle-Jaccard ground truth for BOTH near-dup
+        # candidate generators (minhash LSH and banded simhash): token
+        # 5-gram shingles, whole-text fallback for short docs, set
+        # Jaccard >= 0.5. O(n^2) here is fine — it's the oracle, not
+        # the engine.
+        "minhash_lsh_pairs": NEAR_DUP_ORACLE_SQL,
+        "simhash_pairs": NEAR_DUP_ORACLE_SQL,
+        # bipartite customer-order graph: each component is exactly one
+        # customer plus its orders; 'c:<custkey>' < 'o:<orderkey>'
+        # lexicographically, so the min-label CC answer has a closed form
+        "connected_components": """
+            SELECT 'c:' || o_custkey AS node,
+                   'c:' || o_custkey AS component
+            FROM (SELECT DISTINCT o_custkey FROM orders)
+            UNION ALL
+            SELECT 'o:' || o_orderkey AS node,
+                   'c:' || o_custkey AS component
+            FROM orders""",
     }

@@ -65,7 +65,7 @@ DESCRIPTOR_PATTERNS = [
     "PROPOSED", "PLOT", "SITE AT", "ADJACENT TO", "NORTH OF",
     "SOUTH OF", "EAST OF", "WEST OF", "PART OF",
 ]
-DESCRIPTOR_RE = r"\b(" + "|".join(p.replace(" ", r"\s+") for p in sorted(
+DESCRIPTOR_RE = r"\b(?:" + "|".join(p.replace(" ", r"\s+") for p in sorted(
     DESCRIPTOR_PATTERNS, key=len, reverse=True)) + r")\b"
 HOUSE_NUM_RE = r"\b(\d+[A-Z]?)\b"
 
@@ -96,7 +96,10 @@ def canonicalize_series(raw: pd.Series) -> pd.DataFrame:
     for pat, rep in BUSINESS_SUBS:  # N5 — before '&' and punctuation pass
         s = s.str.replace(pat, rep, regex=True)
     s = s.str.replace("&", " AND ", regex=False)
-    s = s.str.replace(r"[^\w\s-]", " ", regex=True)     # drop punctuation
+    # ASCII-only survivors (not \w): guarantees the downstream byte-level
+    # similarity kernels' ASCII assumption by construction, and matches
+    # the DuckDB oracle's [^a-zA-Z0-9 \t-] semantics for accented input
+    s = s.str.replace(r"[^A-Z0-9\s-]", " ", regex=True)  # drop punctuation
     s = s.str.replace(r"(?<!\d)-|-(?!\d)", " ", regex=True)  # keep 10-12 ranges
     s = s.str.replace(_ABBREV_RE, lambda m: ABBREVIATIONS[m.group(0)], regex=True)
     # bare ST not at string start => STREET

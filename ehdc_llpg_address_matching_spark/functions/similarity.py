@@ -19,13 +19,19 @@ MAXLEN = 64  # addresses are clipped to this many chars for the DP kernels
 
 
 def _char_matrix(strings: pd.Series, maxlen: int = MAXLEN):
-    """(uint8 matrix (n, maxlen), lengths (n,)) for an ASCII-ish batch."""
+    """(uint8 matrix (n, maxlen), lengths (n,)) for a string batch.
+
+    Non-ASCII input is encoded utf-8 (multi-byte chars become byte
+    pairs) rather than crashing the whole Arrow batch — canonicalize
+    strips non-ASCII upstream, so this path only sees it when callers
+    feed raw strings directly."""
     s = strings.fillna("").astype(str).str.slice(0, maxlen)
-    lens = s.str.len().to_numpy(dtype=np.int32)
-    b = np.array(s.to_list(), dtype=f"S{maxlen}")
-    if b.size == 0:
+    b = s.str.encode("utf-8", errors="replace").str.slice(0, maxlen)
+    lens = b.str.len().to_numpy(dtype=np.int32)
+    arr = np.array(b.to_list(), dtype=f"S{maxlen}")
+    if arr.size == 0:
         return np.zeros((0, maxlen), np.uint8), lens
-    mat = b.view(np.uint8).reshape(len(s), maxlen)
+    mat = arr.view(np.uint8).reshape(len(s), maxlen)
     return mat, lens
 
 

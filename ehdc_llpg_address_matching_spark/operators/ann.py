@@ -83,6 +83,8 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     collisions, top-k window. Recall < 1 by design; raise n_tables for
     more recall, n_planes for more precision."""
     if dim is None:
+        # fallback only — callers should pass dim so no driver-side
+        # action blocks the lazy plan
         dim = len(queries.select(vec_col).first()[0])
     rs = np.random.RandomState(seed)
     planes = rs.standard_normal((n_tables, n_planes, dim)).astype(np.float32)

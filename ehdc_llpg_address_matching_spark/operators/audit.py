@@ -57,20 +57,23 @@ def tune_thresholds(decided: DataFrame, pseudo_gold: DataFrame,
         .select("addr_id", F.col("uprn").alias("pred_uprn"), "score")
     j = pseudo_gold.select("addr_id", F.col("uprn").alias("gold_uprn")) \
         .join(top1, "addr_id", "left")
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("n_gold")]
     for i, t in enumerate(sweep):
         accept = F.col("score") >= F.lit(t)
         correct = F.col("pred_uprn") == F.col("gold_uprn")
         aggs += [
             F.sum((accept & correct).cast("long")).alias(f"tp_{i}"),
             F.sum((accept & ~correct).cast("long")).alias(f"fp_{i}"),
-            F.sum((F.coalesce(accept, F.lit(False)) == False)  # noqa: E712
-                  .cast("long")).alias(f"fn_{i}"),
         ]
     row = j.agg(*aggs).collect()[0]
     out = []
     for i, t in enumerate(sweep):
-        tp, fp, fn = row[f"tp_{i}"] or 0, row[f"fp_{i}"] or 0, row[f"fn_{i}"] or 0
+        tp, fp = row[f"tp_{i}"] or 0, row[f"fp_{i}"] or 0
+        # fn = gold rows NOT matched correctly at this threshold — an
+        # accepted-but-wrong prediction is both a FP and a FN (pairwise-F1
+        # definition, same as tools/eval_f1.py); counting only
+        # not-accepted rows overstated recall across the sweep
+        fn = (row["n_gold"] or 0) - tp
         p = tp / max(tp + fp, 1)
         r = tp / max(tp + fn, 1)
         f1 = 2 * p * r / max(p + r, 1e-12)

@@ -76,23 +76,30 @@ def prepare_gazetteer(gaz: DataFrame) -> DataFrame:
 def prepare_unique_addresses(docs_norm: DataFrame) -> DataFrame:
     """J11 dedup-join: match once per unique dirty address, fan results
     back to documents later (reference: cmd/matcher-v2/enhanced_layer3.go:50-97).
-    Representative coordinates = first non-null among sharing docs."""
+
+    The representative row per (addr_can, postcode) is the one from the
+    min doc_id (min_by, NOT F.first — first is partition-order-dependent
+    and made repeated runs disagree near decision thresholds); the
+    representative coordinates come from the min doc_id that HAS
+    coordinates (min_by skips rows whose ordering key is null)."""
+    rep = F.min_by(
+        F.struct("addr_core", "tokens", "house_numbers", "c_house",
+                 "c_street", "c_locality", "c_postcode",
+                 "street_phonetic", "is_vague"),
+        F.col("doc_id")).alias("_rep")
+    coord = F.min_by(
+        F.struct("easting", "northing"),
+        F.when(F.col("easting").isNotNull() &
+               F.col("northing").isNotNull(), F.col("doc_id"))).alias("_coord")
     return (docs_norm
             # postcode is part of the identity: '12 HIGH ST' with and
             # without 'GU34 1AA' are different match problems (the
             # postcode disambiguates twin canonical strings)
             .groupBy("addr_can", "postcode")
-            .agg(F.first("addr_core").alias("addr_core"),
-                 F.first("tokens").alias("tokens"),
-                 F.first("house_numbers").alias("house_numbers"),
-                 F.first("c_house").alias("c_house"),
-                 F.first("c_street").alias("c_street"),
-                 F.first("c_locality").alias("c_locality"),
-                 F.first("c_postcode").alias("c_postcode"),
-                 F.first("street_phonetic").alias("street_phonetic"),
-                 F.first("is_vague").alias("is_vague"),
-                 F.first("easting", ignorenulls=True).alias("easting"),
-                 F.first("northing", ignorenulls=True).alias("northing"))
+            .agg(rep, coord)
+            .select("addr_can", "postcode", "_rep.*",
+                    F.col("_coord.easting").alias("easting"),
+                    F.col("_coord.northing").alias("northing"))
             .withColumn("addr_id", F.sha2(
                 F.concat_ws("|", "addr_can", "postcode"), 256)))
 

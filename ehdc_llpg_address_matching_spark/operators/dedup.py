@@ -67,8 +67,11 @@ def with_minhash(df: DataFrame, text_col: str = "text",
     """Adds minhash: array<long> of length num_hashes. Vectorized:
     one (n_shingles x num_hashes) affine-hash min per doc, NumPy inside
     an Arrow UDF."""
+    # a*h + b must not wrap int64 before the mod-prime, or the family
+    # stops being universal: keep h < 2^32 (crc-reduced) and a < 2^30 so
+    # the product < 2^62 and product + b < 2^63. Deterministic and exact.
     rs = np.random.RandomState(seed)
-    A = rs.randint(1, MERSENNE, size=num_hashes, dtype=np.int64)
+    A = rs.randint(1, 1 << 30, size=num_hashes, dtype=np.int64)
     B = rs.randint(0, MERSENNE, size=num_hashes, dtype=np.int64)
 
     from pyspark.sql.functions import pandas_udf
@@ -80,8 +83,9 @@ def with_minhash(df: DataFrame, text_col: str = "text",
             if len(hs) == 0:
                 res.append([0] * num_hashes)
                 continue
+            hs32 = hs & np.int64(0xFFFFFFFF)  # < 2^32: no int64 wrap below
             # (n, H): (a*h + b) mod p, then column-min
-            vals = (hs[:, None] * A[None, :] + B[None, :]) % MERSENNE
+            vals = (hs32[:, None] * A[None, :] + B[None, :]) % MERSENNE
             res.append(vals.min(axis=0).tolist())
         return pd.Series(res)
 
@@ -149,15 +153,17 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", _sh(F.col(text_col)))
 
 
-def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming, found by
-    banding the 64 bits into 4 x 16-bit chunks (pigeonhole: any pair at
-    hamming<=3 agrees on >=1 chunk) then verifying with bit_count."""
+def _simhash_candidates(df: DataFrame, text_col: str, id_col: str,
+                        n_chunks: int) -> DataFrame:
+    """Banded simhash collision candidates (id_a < id_b, sh_a, sh_b):
+    the 64 bits split into n_chunks equal chunks; pigeonhole guarantees
+    any pair at hamming <= n_chunks-1 agrees on >= 1 chunk."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     sig = with_simhash(df.select(id_col, text_col), text_col)
     chunks = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-        for i in range(4)])
+        F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+        for i in range(n_chunks)])
     bucketed = (sig.withColumn("chunk_vals", chunks)
                 .select(id_col, "simhash",
                         F.posexplode("chunk_vals").alias("chunk_idx", "chunk_val")))
@@ -167,14 +173,55 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     b = bucketed.select(F.col(id_col).alias("id_b"),
                         F.col("simhash").alias("sh_b"),
                         "chunk_idx", "chunk_val")
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (a.join(b, ["chunk_idx", "chunk_val"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "sh_a", "sh_b")
-            .distinct()
+            .distinct())
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  n_chunks: int = 4) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found by
+    banding the 64 bits into n_chunks chunks (pigeonhole: any pair at
+    hamming <= n_chunks-1 agrees on >=1 chunk; exact for the default
+    max_hamming=3 / n_chunks=4) then verifying with bit_count."""
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (_simhash_candidates(df, text_col, id_col, n_chunks)
             .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def minhash_near_dup(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", shingle_k: int = 5,
+                     jaccard_threshold: float = 0.5) -> DataFrame:
+    """Oracle-exact near-dup: minhash LSH candidates (recall-oriented
+    estimated-Jaccard gate at threshold*0.7) -> EXACT shingle-Jaccard
+    verify at the real threshold. Output (id_a, id_b, jaccard) equals
+    the all-pairs exact answer whenever LSH recall holds (16 bands x 4
+    rows: a pair at J=0.7 is missed with p < 1e-4, at J=0.875 < 1e-6)."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, shingle_k=shingle_k,
+                             jaccard_threshold=jaccard_threshold * 0.7)
+    return ngram_jaccard_verify(cand.select("id_a", "id_b"), df,
+                                text_col=text_col, id_col=id_col,
+                                shingle_k=shingle_k,
+                                threshold=jaccard_threshold)
+
+
+def simhash_near_dup(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", shingle_k: int = 5,
+                     jaccard_threshold: float = 0.5,
+                     n_chunks: int = 8) -> DataFrame:
+    """Oracle-exact near-dup via the OTHER candidate generator: banded
+    simhash collisions (8 x 8-bit chunks: full recall up to hamming 7)
+    -> exact shingle-Jaccard verify. Same output contract as
+    minhash_near_dup, so the two generators cross-check each other."""
+    cand = _simhash_candidates(df, text_col, id_col, n_chunks)
+    return ngram_jaccard_verify(cand.select("id_a", "id_b"), df,
+                                text_col=text_col, id_col=id_col,
+                                shingle_k=shingle_k,
+                                threshold=jaccard_threshold)
 
 
 def ngram_jaccard_verify(pairs: DataFrame, docs: DataFrame,

@@ -41,10 +41,20 @@ def group_fuzzy_rescue(docs_n: DataFrame, doc_matches: DataFrame,
                          F.length("addr_core")).alias("_r"))
            .select(group_col, F.col("_r.addr_core").alias("addr_core"),
                    F.col("_r.tokens").alias("tokens")))
-    # candidates: token-overlap blocked join against the gazetteer
-    g = gazp.select("uprn", F.col("addr_core").alias("g_core"),
-                    F.col("tokens").alias("g_tokens"))
-    cand = (rep.join(g, F.size(F.array_intersect("tokens", "g_tokens")) >= 2)
+    # candidates: token-overlap >= 2 as a SHUFFLE-BOUNDED equi-join —
+    # explode distinct tokens on both sides, equi-join on the token,
+    # count shared tokens per (group, uprn). Same output as the old
+    # size(array_intersect) >= 2 theta-join, which Spark could only plan
+    # as a BroadcastNestedLoopJoin (groups x full gazetteer pair
+    # evaluations — a cartesian scale-killer at 10^8 gazetteer rows).
+    rep_tok = rep.select(group_col, "addr_core",
+                         F.explode(F.array_distinct("tokens")).alias("tok"))
+    g_tok = gazp.select("uprn", F.col("addr_core").alias("g_core"),
+                        F.explode(F.array_distinct("tokens")).alias("tok"))
+    cand = (rep_tok.join(g_tok, "tok")
+            .groupBy(group_col, "addr_core", "uprn", "g_core")
+            .agg(F.count("*").alias("_n_common"))
+            .filter(F.col("_n_common") >= 2)
             .select(group_col, "addr_core", "uprn", "g_core"))
 
     @pandas_udf(DoubleType())
