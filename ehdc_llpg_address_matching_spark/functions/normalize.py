@@ -29,16 +29,41 @@ POSTCODE_RE = r"\b([A-Z]{1,2}[0-9][0-9A-Z]?)\s*([0-9][ABD-HJLNP-UW-Z]{2})\b"
 # (reference: internal/normalize/address.go:25-59 + enhanced.go:55-193,
 #  rebuilt as a plain mapping — ~30 core rules)
 ABBREVIATIONS = {
+    # street-type suffixes
     "RD": "ROAD", "STR": "STREET", "AVE": "AVENUE", "AV": "AVENUE",
     "LN": "LANE", "CL": "CLOSE", "DR": "DRIVE", "GDNS": "GARDENS",
-    "GDN": "GARDEN", "CRES": "CRESCENT", "PL": "PLACE", "CT": "COURT",
-    "SQ": "SQUARE", "TERR": "TERRACE", "PK": "PARK", "EST": "ESTATE",
-    "IND": "INDUSTRIAL", "BUS": "BUSINESS", "CTR": "CENTRE",
-    "HSE": "HOUSE", "CTTG": "COTTAGE", "BLDG": "BUILDING",
-    "APTS": "APARTMENTS", "APT": "APARTMENT", "FLR": "FLOOR",
-    "GRD": "GROUND", "UPR": "UPPER", "LWR": "LOWER", "NR": "NEAR",
-    "OPP": "OPPOSITE", "ADJ": "ADJACENT", "HANTS": "HAMPSHIRE",
+    "GDN": "GARDEN", "CRES": "CRESCENT", "CRS": "CRESCENT",
+    "PL": "PLACE", "CT": "COURT", "CRT": "COURT", "SQ": "SQUARE",
+    "TERR": "TERRACE", "TER": "TERRACE", "PK": "PARK", "GRN": "GREEN",
+    "WY": "WAY", "WLK": "WALK", "PDE": "PARADE", "ESP": "ESPLANADE",
+    "EMB": "EMBANKMENT", "JCT": "JUNCTION", "QD": "QUADRANT",
+    "BLVD": "BOULEVARD", "BVD": "BOULEVARD", "CSWY": "CAUSEWAY",
+    "DRV": "DRIVE", "GRV": "GROVE", "HTS": "HEIGHTS", "MDW": "MEADOW",
+    "MDWS": "MEADOWS", "PSGE": "PASSAGE", "RDG": "RIDGE",
+    "TRL": "TRAIL", "VW": "VIEW", "XING": "CROSSING", "YD": "YARD",
+    # property / building types
+    "EST": "ESTATE", "IND": "INDUSTRIAL", "INDL": "INDUSTRIAL",
+    "BUS": "BUSINESS", "CTR": "CENTRE", "CEN": "CENTRE",
+    "HSE": "HOUSE", "CTTG": "COTTAGE", "CTG": "COTTAGE",
+    "CTTGS": "COTTAGES", "BLDG": "BUILDING", "BLDGS": "BUILDINGS",
+    "APTS": "APARTMENTS", "APT": "APARTMENT", "FLT": "FLAT",
+    "FLR": "FLOOR", "GRD": "GROUND", "BSMT": "BASEMENT",
+    "FM": "FARM", "MNR": "MANOR", "VIL": "VILLA", "VLG": "VILLAGE",
+    "LDG": "LODGE", "MKT": "MARKET", "ORCH": "ORCHARD",
+    "STA": "STATION", "WHF": "WHARF", "HBR": "HARBOUR",
+    "BGLW": "BUNGALOW", "BARN": "BARN", "WKS": "WORKS",
+    "WHSE": "WAREHOUSE", "FCTY": "FACTORY", "DEPT": "DEPARTMENT",
+    "BLK": "BLOCK", "UNT": "UNIT", "RM": "ROOM", "OFF": "OFFICE",
+    # positional / relational
+    "UPR": "UPPER", "LWR": "LOWER", "NR": "NEAR", "OPP": "OPPOSITE",
+    "ADJ": "ADJACENT", "GT": "GREAT", "LT": "LITTLE",
     "N": "NORTH", "S": "SOUTH", "E": "EAST", "W": "WEST",
+    "NTH": "NORTH", "STH": "SOUTH", "WST": "WEST",
+    # county / region
+    "HANTS": "HAMPSHIRE", "BERKS": "BERKSHIRE", "BUCKS":
+    "BUCKINGHAMSHIRE", "OXON": "OXFORDSHIRE", "WILTS": "WILTSHIRE",
+    "GLOS": "GLOUCESTERSHIRE", "HERTS": "HERTFORDSHIRE",
+    "SSX": "SUSSEX", "MDX": "MIDDLESEX",
 }
 # ST is positional: "ST." => SAINT (handled pre-punctuation-strip);
 # bare trailing/inner "ST" => STREET.
@@ -67,6 +92,26 @@ DESCRIPTOR_PATTERNS = [
 ]
 DESCRIPTOR_RE = r"\b(?:" + "|".join(p.replace(" ", r"\s+") for p in sorted(
     DESCRIPTOR_PATTERNS, key=len, reverse=True)) + r")\b"
+
+# N7: known locality/town whitelist (reference:
+# internal/normalize/address.go:84-122 — common East-Hampshire towns,
+# incl. multi-word entries that need a substring scan, not a token
+# lookup). Used as the locality fallback when the comma-segment parse
+# yields none (addresses written without comma separation).
+KNOWN_LOCALITIES = [
+    "ALTON", "PETERSFIELD", "LIPHOOK", "WATERLOOVILLE", "HORNDEAN",
+    "BORDON", "WHITEHILL", "GRAYSHOTT", "HEADLEY", "BRAMSHOTT",
+    "LINDFORD", "HOLLYWATER", "PASSFIELD", "CONFORD", "FOUR MARKS",
+    "MEDSTEAD", "CHAWTON", "SELBORNE", "EMPSHOTT", "HAWKLEY", "LISS",
+    "STEEP", "STROUD", "BURITON", "LANGRISH", "EAST MEON", "WEST MEON",
+    "FROXFIELD", "PRIVETT", "ROPLEY", "WEST TISTED", "EAST TISTED",
+    "BINSTED", "HOLT POUND", "BENTLEY", "FARNHAM", "HASLEMERE",
+    "ALRESFORD", "CLANFIELD", "ROWLANDS CASTLE", "KINGSLEY", "BEECH",
+]
+# longest-first so 'EAST MEON' wins over a hypothetical 'MEON'
+_KNOWN_LOCALITY_RE = re.compile(
+    r"\b(" + "|".join(sorted((re.escape(x) for x in KNOWN_LOCALITIES),
+                             key=len, reverse=True)) + r")\b")
 HOUSE_NUM_RE = r"\b(\d+[A-Z]?)\b"
 
 _ABBREV_RE = re.compile(
@@ -136,17 +181,21 @@ _UNIT_RE = re.compile(
 _LEAD_NUM_RE = re.compile(r"^\W*(\d+[A-Z]?(?:-\d+[A-Z]?)?)\b")
 
 
-def _parse_one(body: str) -> tuple[str, str, str]:
-    """(house, street, locality) from a postcode-stripped UPPER address.
-    Street segment = first comma segment containing a street-suffix word
-    or a leading house number; unit designators in earlier segments fold
-    into the house component (reference heuristic:
-    internal/validation/parser.go:239-299)."""
+def _parse_one(body: str) -> tuple[str, str, str, str]:
+    """(house, street, locality, name) from a postcode-stripped UPPER
+    address. Street segment = first comma segment containing a
+    street-suffix word or a leading house number; unit designators in
+    earlier segments fold into the house component (reference heuristic:
+    internal/validation/parser.go:239-299). Segments BEFORE the street
+    become the property/business name (feeds J4 strategy (d)). Locality
+    falls back to the known-town scan (N7, multi-word aware) when the
+    comma-segment parse yields none."""
     segs = [x.strip() for x in body.split(",") if x.strip()]
     if not segs:
-        return "", "", ""
+        return "", "", "", ""
     unit = ""
     street_idx = 0
+    found_street = False
     for i, seg in enumerate(segs):
         words = set(_expand_tokens(seg).split())
         if words & STREET_SUFFIX_WORDS or _LEAD_NUM_RE.match(seg):
@@ -157,6 +206,7 @@ def _parse_one(body: str) -> tuple[str, str, str]:
                 if not seg_wo and i + 1 < len(segs):
                     continue  # pure unit segment: street lives in the next one
             street_idx = i
+            found_street = True
             break
         m = _UNIT_RE.search(seg)
         if m:
@@ -166,10 +216,25 @@ def _parse_one(body: str) -> tuple[str, str, str]:
     hn = mnum.group(1) if mnum else ""
     street = _LEAD_NUM_RE.sub(" ", seg, count=1)
     street = _expand_tokens(re.sub(r"[^\w\s]", " ", street))
+    name = " ".join(_UNIT_RE.sub(" ", s) for s in segs[:street_idx])
+    name = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", " ", name)).strip()
+    if not found_street and not name and not hn and street:
+        # name-led address without a recognisable street segment
+        # ('ROSE COTTAGE, ALTON'): the leading segment is the
+        # property/business name (J4 strategy (d) joins on it)
+        name = street
     locality = " ".join(segs[street_idx + 1:])
     locality = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", " ", locality)).strip()
+    if not locality:
+        # N7 fallback: last known town embedded anywhere in the body
+        # ('2 HIGH STREET FOUR MARKS' without comma separation)
+        hits = _KNOWN_LOCALITY_RE.findall(body)
+        if hits:
+            locality = hits[-1]
+            if street.endswith(" " + locality):
+                street = street[: -len(locality) - 1].strip()
     house = (unit + " " + hn).strip() if unit else hn
-    return house, street, locality
+    return house, street, locality, name
 
 
 def _expand_tokens(s: str) -> str:
@@ -192,13 +257,15 @@ def parse_components_series(raw: pd.Series) -> pd.DataFrame:
     house = parsed.map(lambda t: t[0])
     street = parsed.map(lambda t: t[1])
     locality = parsed.map(lambda t: t[2])
+    name = parsed.map(lambda t: t[3])
     n_comp = ((house != "").astype(int) + (street != "").astype(int)
               + (locality != "").astype(int) + (postcode != "").astype(int))
     conf = n_comp / 4.0
     valid = (street != "") & ((house != "") | (postcode != "") | (locality != ""))
     return pd.DataFrame({
         "house_number": house, "street": street, "locality": locality,
-        "postcode": postcode, "parse_confidence": conf, "parse_valid": valid,
+        "name": name, "postcode": postcode,
+        "parse_confidence": conf, "parse_valid": valid,
     })
 
 
@@ -260,6 +327,7 @@ def with_components(df, raw_col: str = "raw_address"):
         StructField("house_number", StringType()),
         StructField("street", StringType()),
         StructField("locality", StringType()),
+        StructField("name", StringType()),
         StructField("pc", StringType()),
         StructField("parse_confidence", StringType()),
         StructField("parse_valid", StringType()),
@@ -278,6 +346,7 @@ def with_components(df, raw_col: str = "raw_address"):
             .withColumn("c_house", F.col("_p.house_number"))
             .withColumn("c_street", F.col("_p.street"))
             .withColumn("c_locality", F.col("_p.locality"))
+            .withColumn("c_name", F.col("_p.name"))
             .withColumn("c_postcode", F.col("_p.pc"))
             .withColumn("parse_confidence", F.col("_p.parse_confidence").cast("double"))
             .withColumn("parse_valid", F.col("_p.parse_valid") == "True")

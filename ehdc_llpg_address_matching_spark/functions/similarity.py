@@ -160,6 +160,30 @@ def trigram_sim_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
     return out
 
 
+def token_cosine_batch(a_tokens, b_tokens) -> np.ndarray:
+    """F4 token-frequency (bag-of-words) cosine, the reference's
+    cosineBagOfWords (internal/match/features.go:184-228): tf vectors
+    over the union vocabulary of each pair; repeated tokens count.
+    Both-empty => 1.0, one-empty => 0.0 (reference edge cases)."""
+    from collections import Counter
+    out = np.zeros(len(a_tokens))
+    for i, (ta, tb) in enumerate(zip(a_tokens, b_tokens)):
+        la = list(ta) if ta is not None else []
+        lb = list(tb) if tb is not None else []
+        if not la and not lb:
+            out[i] = 1.0
+            continue
+        if not la or not lb:
+            continue
+        ca, cb = Counter(la), Counter(lb)
+        dot = sum(ca[t] * cb.get(t, 0) for t in ca)
+        na = sum(v * v for v in ca.values()) ** 0.5
+        nb = sum(v * v for v in cb.values()) ** 0.5
+        if na > 0 and nb > 0:
+            out[i] = dot / (na * nb)
+    return out
+
+
 def token_overlap_batch(a_tokens, b_tokens) -> np.ndarray:
     """Overlap count / size of the smaller set (reference:
     internal/engine/fuzzy.go:527-543)."""

@@ -20,6 +20,7 @@ split + explicit salting) or a broadcast of the 72K-row gazetteer.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.normalize import with_canonical, with_components
@@ -84,7 +85,7 @@ def prepare_unique_addresses(docs_norm: DataFrame) -> DataFrame:
     coordinates (min_by skips rows whose ordering key is null)."""
     rep = F.min_by(
         F.struct("addr_core", "tokens", "house_numbers", "c_house",
-                 "c_street", "c_locality", "c_postcode",
+                 "c_street", "c_locality", "c_name", "c_postcode",
                  "street_phonetic", "is_vague"),
         F.col("doc_id")).alias("_rep")
     coord = F.min_by(
@@ -143,27 +144,51 @@ def cand_blocked(uaddr: DataFrame, gazp: DataFrame,
             .withColumn("method", F.lit("blocked_fuzzy")))
 
 
-def cand_component_joins(uaddr: DataFrame, gazp: DataFrame) -> DataFrame:
+def cand_component_joins(uaddr: DataFrame, gazp: DataFrame,
+                         fuzzy_street_sim: float = 0.8,
+                         name_sim: float = 0.8) -> DataFrame:
     """J4 component-equality strategies + J8 postcode-block join
-    (reference: internal/matcher/engine_components_fixed.go:201-241 +
-    internal/engine/postcode_matcher.go:143-248):
+    (reference: internal/matcher/engine_components_fixed.go:201-241,
+    322-599 + internal/engine/postcode_matcher.go:143-248):
       (a) postcode + house-number equality        -> 'comp_pc_house'
       (b) street + locality + house equality      -> 'comp_street_loc'
-      (c) full-postcode block (J8)                -> 'postcode_block'
-    All plain equi-joins on parsed component columns; the strict
-    validator downstream enforces the house rule."""
+      (c) FUZZY street (trigram >= 0.8) with MANDATORY house equality
+          (engine_components_fixed.go:525-599's critical fix) —
+          phonetic-street + house as the blocking equi-join, trigram
+          verify after                            -> 'comp_fuzzy_road'
+      (d) business/property-name similarity >= 0.8
+          (engine_components_fixed.go:378-448) — blocked on the name's
+          first token + locality                  -> 'business_name'
+      (e) full-postcode block (J8)                -> 'postcode_block'
+    All blocking steps are equi-joins on parsed component columns; the
+    strict validator downstream enforces the house rule."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from ..functions.similarity import trigram_sim_batch
+
+    @pandas_udf(DoubleType())
+    def _sim(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(trigram_sim_batch(x, y))
+
     nh = lambda c: F.regexp_replace(F.upper(F.coalesce(c, F.lit(""))),
                                     r"[^0-9A-Z]", "")
+    opt = lambda df, c: (F.col(c) if c in df.columns
+                         else F.lit("")).alias(c)
     d = uaddr.select("addr_id",
                      F.col("postcode").alias("d_pc2"),
                      nh(F.col("c_house")).alias("d_h"),
                      F.col("c_street").alias("d_st"),
-                     F.col("c_locality").alias("d_loc"))
+                     F.col("c_locality").alias("d_loc"),
+                     opt(uaddr, "c_name").alias("d_name"),
+                     opt(uaddr, "street_phonetic").alias("d_phon"))
     g = gazp.select("uprn",
                     F.col("postcode").alias("g_pc2"),
                     nh(F.col("c_house")).alias("g_h"),
                     F.col("c_street").alias("g_st"),
-                    F.col("c_locality").alias("g_loc"))
+                    F.col("c_locality").alias("g_loc"),
+                    opt(gazp, "c_name").alias("g_name"),
+                    opt(gazp, "street_phonetic").alias("g_phon"))
     a = (d.filter((F.col("d_pc2") != "") & (F.col("d_h") != ""))
          .join(g.filter((F.col("g_pc2") != "") & (F.col("g_h") != "")),
                (F.col("d_pc2") == F.col("g_pc2")) &
@@ -177,12 +202,41 @@ def cand_component_joins(uaddr: DataFrame, gazp: DataFrame) -> DataFrame:
                (F.col("d_loc") == F.col("g_loc")))
          .select("addr_id", "uprn")
          .withColumn("method", F.lit("comp_street_loc")))
-    c = (d.filter(F.col("d_pc2") != "")
+    # (c): house equality IS the blocking key (with phonetic street to
+    # bound the block); exact trigram on the street verifies after.
+    # A pair whose street typo changes the phonetic skeleton still
+    # meets via the J3 blocked join; this strategy exists to catch
+    # same-sounding misspellings with a confirmed house number.
+    c = (d.filter((F.col("d_st") != "") & (F.col("d_h") != "") &
+                  (F.col("d_phon") != ""))
+         .join(g.filter((F.col("g_st") != "") & (F.col("g_h") != "") &
+                        (F.col("g_phon") != "")),
+               (F.col("d_phon") == F.col("g_phon")) &
+               (F.col("d_h") == F.col("g_h")))
+         .filter(F.col("d_st") != F.col("g_st"))  # exact handled by (b)
+         .withColumn("_ssim", _sim("d_st", "g_st"))
+         .filter(F.col("_ssim") >= fuzzy_street_sim)
+         .select("addr_id", "uprn")
+         .withColumn("method", F.lit("comp_fuzzy_road")))
+    # (d): property/business names ('ROSE COTTAGE', 'MARKS AND
+    # SPENCER'): block on (first name token, locality), trigram verify
+    nm = (d.filter(F.col("d_name") != "")
+          .withColumn("_tok1", F.split("d_name", " ").getItem(0))
+          .join(g.filter(F.col("g_name") != "")
+                 .withColumn("_tok1", F.split("g_name", " ").getItem(0)),
+                "_tok1")
+          .filter((F.col("d_loc") == "") | (F.col("g_loc") == "") |
+                  (F.col("d_loc") == F.col("g_loc")))
+          .withColumn("_nsim", _sim("d_name", "g_name"))
+          .filter(F.col("_nsim") >= name_sim)
+          .select("addr_id", "uprn")
+          .withColumn("method", F.lit("business_name")))
+    e = (d.filter(F.col("d_pc2") != "")
          .join(g.filter(F.col("g_pc2") != ""),
                F.col("d_pc2") == F.col("g_pc2"))
          .select("addr_id", "uprn")
          .withColumn("method", F.lit("postcode_block")))
-    return a.unionByName(b).unionByName(c)
+    return a.unionByName(b).unionByName(c).unionByName(nm).unionByName(e)
 
 
 def cand_spatial(uaddr: DataFrame, gazp: DataFrame,
@@ -220,32 +274,194 @@ def cand_spatial(uaddr: DataFrame, gazp: DataFrame,
             .withColumn("method", F.lit("spatial")))
 
 
-# Rule rewrites (J7; reference: internal/engine/rule_matcher.go:50-153).
-# Each rule: (pattern, replacement, rule_conf). Applied to addr_core;
-# first rule that changes the string wins; the rewritten string feeds
-# the exact join (rewritten equality) — fuzzy re-scoring happens later.
+# Rule rewrites (J7; reference: internal/engine/rule_matcher.go:50-153):
+# (name, pattern, replacement, base_confidence). Applied to addr_can
+# (descriptors still present); FIRST matching rule wins (list order);
+# the rewritten string feeds a TRIGRAM join (sim >= 0.70, top 5), and
+# the rule confidence is adjusted by similarity (+0.10 at sim>=0.90,
+# +0.05 at sim>=0.80 — rule_matcher.go:364-377).
 REWRITE_RULES = [
-    (r"^(LAND |SITE |PLOT \d+ )", "", 0.80),
-    (r"\b(\d+)[A-Z]\b", r"$1", 0.70),       # drop alpha suffix fallback
-    (r"\bTHE\b ", "", 0.75),
+    ("lucky_lite_farm", r"LUCKY LITE FARM.*",
+     "LUCKYLITE FARM CATHERINGTON LANE HORNDEAN", 0.95),
+    ("lasham_airfield", r"LASHAM AIRFIELD.*", "LASHAM AERODROME LASHAM", 0.90),
+    ("four_marks_spacing", r"FOUR MARKS", "FOURMARKS", 0.85),
+    ("co_op_variations", r"(?:CO-OP|COOP|CO OP)", "COOPERATIVE", 0.80),
+    ("former_site_prefix", r"FORMER SITE OF (.+)", "$1", 0.75),
+    ("land_at_prefix", r"LAND AT (.+)", "$1", 0.70),
+    ("rear_of_references", r"REAR OF (\d+[A-Z]?\s.+)", "$1A", 0.65),
+    ("adjacent_to", r"ADJ(?:ACENT)? TO (.+)", "$1", 0.60),
+    ("opposite_references", r"OPP(?:OSITE)? (.+)", "$1", 0.60),
+    ("compass_expansion", r"\b[NSEW]\b", None, 0.75),  # special-cased
 ]
 
 
-def cand_rule_rewrite(uaddr: DataFrame, gazp: DataFrame) -> DataFrame:
-    """J7: regex rewrite then exact join on the rewritten string."""
-    out = None
-    g = gazp.select(F.col("addr_core").alias("g_core"), "uprn")
-    for i, (pat, rep, _conf) in enumerate(REWRITE_RULES):
-        rw = (uaddr
-              .withColumn("_rw", F.regexp_replace("addr_core", pat, rep))
-              .withColumn("_rw", F.trim(F.regexp_replace("_rw", r"\s+", " ")))
-              .filter(F.col("_rw") != F.col("addr_core"))
-              .select("addr_id", "_rw"))
-        m = (rw.join(g, F.col("_rw") == F.col("g_core"), "inner")
-             .select("addr_id", "uprn")
-             .withColumn("method", F.lit(f"rule_{i}")))
-        out = m if out is None else out.unionByName(m)
+def _compass_expand(col):
+    out = col
+    for a, b in (("N", "NORTH"), ("S", "SOUTH"), ("E", "EAST"), ("W", "WEST")):
+        out = F.regexp_replace(out, rf"\b{a}\b", b)
     return out
+
+
+def cand_rule_rewrite(uaddr: DataFrame, gazp: DataFrame,
+                      min_sim: float = 0.70, top_k: int = 5) -> DataFrame:
+    """J7 full rule matcher: first-matching-rule rewrite (single
+    when-chain projection — no per-rule pass over the corpus), token
+    equi-join blocking (>=2 shared tokens), trigram sim >= min_sim,
+    top-k per address, per-rule confidence +-adjusted by similarity.
+    Returns (addr_id, uprn, method, method_conf)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from ..functions.normalize import STOP_TOKENS
+    from ..functions.similarity import trigram_sim_batch
+
+    # first matching rule wins: one nested CASE expression, built
+    # innermost-last so the FIRST rule is the outermost WHEN
+    chain = None
+    for name, pat, rep, conf in reversed(REWRITE_RULES):
+        rw = (_compass_expand(F.col("addr_can")) if rep is None
+              else F.regexp_replace("addr_can", pat, rep))
+        rw = F.trim(F.regexp_replace(rw, r"\s+", " "))
+        hit = F.col("addr_can").rlike(pat)
+        branch = F.struct(F.lit(name).alias("rule"),
+                          F.lit(conf).alias("conf"), rw.alias("rw"))
+        chain = (F.when(hit, branch) if chain is None
+                 else F.when(hit, branch).otherwise(chain))
+
+    rw = (uaddr.select("addr_id", "addr_can")
+          .withColumn("_r", chain)
+          .filter(F.col("_r").isNotNull() &
+                  (F.col("_r.rw") != F.col("addr_can")))
+          .select("addr_id",
+                  F.col("_r.rule").alias("rule"),
+                  F.col("_r.conf").alias("base_conf"),
+                  F.col("_r.rw").alias("rw")))
+    toks = F.array_distinct(F.filter(
+        F.split("rw", " "),
+        lambda t: (F.length(t) >= 2) & ~t.isin(*STOP_TOKENS)))
+    rw_tok = rw.withColumn("tok", F.explode(toks))
+    g_tok = gazp.select("uprn", F.col("addr_core").alias("g_core"),
+                        F.explode(F.array_distinct("tokens")).alias("tok"))
+    cand = (rw_tok.join(g_tok, "tok")
+            .groupBy("addr_id", "rule", "base_conf", "rw", "uprn", "g_core")
+            .agg(F.count("*").alias("_n_common"))
+            .filter(F.col("_n_common") >= 2))
+
+    @pandas_udf(DoubleType())
+    def _sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(trigram_sim_batch(a, b))
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("addr_id").orderBy(F.desc("sim"), F.asc("uprn"))
+    adj = (F.when(F.col("sim") >= 0.90, F.col("base_conf") + 0.10)
+           .when(F.col("sim") >= 0.80, F.col("base_conf") + 0.05)
+           .otherwise(F.col("base_conf")))
+    return (cand
+            .withColumn("sim", _sim("rw", "g_core"))
+            .filter(F.col("sim") >= min_sim)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k)
+            .select("addr_id", "uprn",
+                    F.concat(F.lit("rule_"), "rule").alias("method"),
+                    F.least(adj, F.lit(1.0)).alias("method_conf")))
+
+
+# J5 hierarchical cascade levels (reference:
+# internal/engine/hierarchical_matcher.go:51-107): most -> least
+# specific with base scores 0.95 -> 0.70; stop at the FIRST level that
+# yields hits for an address; keep <= 5 candidates per level.
+HIER_BASE = {
+    "postcode_house": 0.95,
+    "street_house_locality": 0.90,
+    "street_locality": 0.80,
+    "street_phonetic": 0.75,
+    "locality_only": 0.70,
+}
+
+
+def cand_hierarchical(uaddr: DataFrame, gazp: DataFrame,
+                      top_k: int = 5) -> DataFrame:
+    """J5: 5-level component cascade with stop-at-first-hit semantics.
+
+    Levels 1-3 are selective equi-joins computed for every address; the
+    min matched level wins per address (window). Levels 4-5 (phonetic
+    street / locality-only) are HOT joins — computed only for the
+    anti-joined residue that levels 1-3 missed, so the locality
+    fan-out never touches already-matched addresses (the Spark analog
+    of the reference's sequential "only unmatched docs reach lower
+    levels" loop, and the reason this holds at 10^12 docs).
+
+    Returns (addr_id, uprn, method='hier_<level>', method_conf=base).
+    """
+    from pyspark.sql import Window
+
+    nh = lambda c: F.regexp_replace(F.upper(F.coalesce(c, F.lit(""))),
+                                    r"[^0-9A-Z]", "")
+    d = uaddr.select("addr_id",
+                     F.col("postcode").alias("d_pc"),
+                     nh(F.col("c_house")).alias("d_h"),
+                     F.col("c_street").alias("d_st"),
+                     F.col("c_locality").alias("d_loc"),
+                     F.col("street_phonetic").alias("d_phon"))
+    g = gazp.select("uprn",
+                    F.col("postcode").alias("g_pc"),
+                    nh(F.col("c_house")).alias("g_h"),
+                    F.col("c_street").alias("g_st"),
+                    F.col("c_locality").alias("g_loc"),
+                    F.col("street_phonetic").alias("g_phon"))
+
+    def lvl(df, name):
+        return df.select("addr_id", "uprn",
+                         F.lit(name).alias("level_name"),
+                         F.lit(HIER_BASE[name]).alias("method_conf"))
+
+    l1 = lvl(d.filter((F.col("d_pc") != "") & (F.col("d_h") != ""))
+             .join(g.filter((F.col("g_pc") != "") & (F.col("g_h") != "")),
+                   (F.col("d_pc") == F.col("g_pc")) &
+                   (F.col("d_h") == F.col("g_h"))), "postcode_house")
+    l2 = lvl(d.filter((F.col("d_st") != "") & (F.col("d_h") != ""))
+             .join(g.filter((F.col("g_st") != "") & (F.col("g_h") != "")),
+                   (F.col("d_st") == F.col("g_st")) &
+                   (F.col("d_h") == F.col("g_h")))
+             .filter((F.col("d_loc") == "") | (F.col("g_loc") == "") |
+                     (F.col("d_loc") == F.col("g_loc"))),
+             "street_house_locality")
+    l3 = lvl(d.filter((F.col("d_st") != "") & (F.col("d_loc") != ""))
+             .join(g, (F.col("d_st") == F.col("g_st")) &
+                   (F.col("d_loc") == F.col("g_loc"))), "street_locality")
+    upper = l1.unionByName(l2).unionByName(l3)
+
+    # stop-at-first among the selective levels
+    lvl_rank = F.when(F.col("level_name") == "postcode_house", 1) \
+        .when(F.col("level_name") == "street_house_locality", 2) \
+        .otherwise(3)
+    w_min = Window.partitionBy("addr_id")
+    upper = (upper.withColumn("_lr", lvl_rank)
+             .withColumn("_best", F.min("_lr").over(w_min))
+             .filter(F.col("_lr") == F.col("_best"))
+             .drop("_lr", "_best"))
+
+    # levels 4-5 only for the residue (anti-join): phonetic street,
+    # then locality-only for what phonetic also missed
+    resid4 = d.join(upper.select("addr_id").distinct(), "addr_id",
+                    "left_anti")
+    l4 = lvl(resid4.filter(F.col("d_phon") != "")
+             .join(g.filter(F.col("g_phon") != ""),
+                   F.col("d_phon") == F.col("g_phon")), "street_phonetic")
+    resid5 = resid4.join(l4.select("addr_id").distinct(), "addr_id",
+                         "left_anti")
+    l5 = lvl(resid5.filter(F.col("d_loc") != "")
+             .join(g.filter(F.col("g_loc") != ""),
+                   F.col("d_loc") == F.col("g_loc")), "locality_only")
+
+    allc = upper.unionByName(l4).unionByName(l5)
+    w_k = Window.partitionBy("addr_id").orderBy(F.asc("uprn"))
+    return (allc.dropDuplicates(["addr_id", "uprn"])
+            .withColumn("_rn", F.row_number().over(w_k))
+            .filter(F.col("_rn") <= top_k)
+            .select("addr_id", "uprn",
+                    F.concat(F.lit("hier_"), "level_name").alias("method"),
+                    "method_conf"))
 
 
 def cand_vector(uaddr: DataFrame, gazp: DataFrame, embed_dim: int,
@@ -300,10 +516,19 @@ def cand_vector(uaddr: DataFrame, gazp: DataFrame, embed_dim: int,
 
 def union_candidates(*cands: DataFrame) -> DataFrame:
     """D7 union + dedupe keep-all-methods: one row per (addr_id, uprn)
-    with the set of generating methods."""
-    allc = cands[0]
-    for c in cands[1:]:
-        if c is not None:
-            allc = allc.unionByName(c)
+    with the set of generating methods and the max method-carried
+    confidence (rule/hierarchical base scores; null for the purely
+    similarity-scored generators)."""
+    withc = []
+    for c in cands:
+        if c is None:
+            continue
+        if "method_conf" not in c.columns:
+            c = c.withColumn("method_conf", F.lit(None).cast("double"))
+        withc.append(c)
+    allc = withc[0]
+    for c in withc[1:]:
+        allc = allc.unionByName(c)
     return (allc.groupBy("addr_id", "uprn")
-            .agg(F.collect_set("method").alias("methods")))
+            .agg(F.collect_set("method").alias("methods"),
+                 F.max("method_conf").alias("method_conf")))

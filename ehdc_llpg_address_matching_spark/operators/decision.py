@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 # (small) surviving top-k for audit
 DECISION_COLS = [
     "addr_id", "uprn", "methods", "score", "validator_ok", "d_vague",
-    "house_match", "house_exact", "pc_match", "g_source_type",
+    "house_match", "house_exact", "house_conflict", "pc_match",
+    "g_source_type", "method_conf",
 ]
 
 
@@ -73,6 +74,9 @@ def decide(pairs: DataFrame, t: Thresholds = Thresholds(),
       review      : rank 1, score>=review
       reject      : everything else
     """
+    for c, typ in (("method_conf", "double"), ("house_conflict", "boolean")):
+        if c not in pairs.columns:
+            pairs = pairs.withColumn(c, F.lit(None).cast(typ))
     # pc_match breaks score ties so the postcode-confirmed twin ranks
     # first even when both clamp to the same score
     w = Window.partitionBy("addr_id").orderBy(
@@ -111,14 +115,31 @@ def decide(pairs: DataFrame, t: Thresholds = Thresholds(),
         # 274-382, per-rule confidence 0.60-0.95)
         .when((F.col("score") >= t.high) & (F.col("margin") >= t.winner_margin)
               & F.col("validator_ok") & F.col("d_vague"), "accept")
+        # rule / hierarchical confidence rung: a high-confidence rule
+        # rewrite (>= 0.85 after sim adjustment) or a top cascade level
+        # accepts on its own authority (reference rule_matcher.go:209-216,
+        # hierarchical_matcher.go:158-165) — still gated on no house
+        # conflict (D4) and a clear winner margin
+        .when((F.coalesce(F.col("method_conf"), F.lit(0.0)) >= t.high)
+              & ~F.col("house_conflict")
+              & (F.col("margin") >= t.winner_margin), "accept")
         .when((F.col("score") >= t.medium)
               & (F.col("house_match") | F.col("house_exact"))
               & (F.col("margin") >= 2 * t.winner_margin)
               & ~F.col("d_vague"), "accept")
         .when(F.col("score") >= t.review, "review")
         .otherwise("reject"))
-    confidence = F.when(F.col("d_vague"), F.col("score") * 0.5) \
-                  .otherwise(F.col("score"))
+    # confidence: the method-carried base score (rule/cascade level)
+    # floors the reported confidence; vague docs are halved UNLESS a
+    # rule explicitly handled the descriptor (J7's whole purpose)
+    base = F.greatest(F.col("score"),
+                      F.coalesce(F.col("method_conf"), F.lit(0.0)))
+    confidence = (
+        F.when(F.col("d_vague") & F.col("method_conf").isNull(),
+               F.col("score") * 0.5)
+        .when(F.col("d_vague"),
+              F.greatest(F.col("score") * 0.5, F.col("method_conf")))
+        .otherwise(base))
     return (pairs
             .withColumn("decision", decision)
             .withColumn("confidence", confidence))

@@ -30,6 +30,7 @@ PAIR_FEATURES_SCHEMA = StructType([
     StructField("trgm", DoubleType()),
     StructField("jaro", DoubleType()),
     StructField("street_sim", DoubleType()),
+    StructField("tok_cos", DoubleType()),
 ])
 
 # below this trigram similarity a pair cannot reach the decision floor
@@ -48,6 +49,10 @@ def attach_pair_attrs(cands: DataFrame, uaddr: DataFrame,
     """cands(addr_id, uprn, methods) x uaddr x gazp -> wide pair rows.
     gazp may hold several variants per uprn (range expansion); all are
     scored and the best survives the keep-best dedupe downstream."""
+    def opt(df, col, alias):
+        return (F.col(col) if col in df.columns
+                else F.lit(None).cast("string")).alias(alias)
+
     d = uaddr.select(
         "addr_id",
         F.col("addr_core").alias("d_core"),
@@ -57,6 +62,8 @@ def attach_pair_attrs(cands: DataFrame, uaddr: DataFrame,
         F.col("c_house").alias("d_house"),
         F.col("c_street").alias("d_street"),
         F.col("c_locality").alias("d_locality"),
+        opt(uaddr, "c_name", "d_name"),
+        opt(uaddr, "usrn", "d_usrn"),
         F.col("street_phonetic").alias("d_phon"),
         F.col("is_vague").alias("d_vague"),
         F.col("easting").alias("d_e"), F.col("northing").alias("d_n"))
@@ -69,6 +76,8 @@ def attach_pair_attrs(cands: DataFrame, uaddr: DataFrame,
         F.col("c_house").alias("g_house"),
         F.col("c_street").alias("g_street"),
         F.col("c_locality").alias("g_locality"),
+        opt(gazp, "usrn", "g_usrn"),
+        opt(gazp, "blpu_class", "g_blpu"),
         F.col("street_phonetic").alias("g_phon"),
         F.col("status_code").alias("g_status"),
         F.col("source_type").alias("g_source_type"),
@@ -79,13 +88,19 @@ def attach_pair_attrs(cands: DataFrame, uaddr: DataFrame,
 def with_pair_features(pairs: DataFrame) -> DataFrame:
     """The hot-path Arrow UDF: trigram first (cheap, hashed-gram sets),
     Jaro only for pairs whose trigram clears JARO_GATE (the expensive
-    char-DP runs on the plausible subset only)."""
+    char-DP runs on the plausible subset only); token-frequency cosine
+    (F4, reference: internal/match/features.go:184-228) over the
+    matching token sets. locality_sim is finalized here because its
+    token fallback is the tf-cosine."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    from ..functions.similarity import token_cosine_batch
+
     @pandas_udf(PAIR_FEATURES_SCHEMA)
     def _feat(d_core: pd.Series, g_core: pd.Series,
-              d_street: pd.Series, g_street: pd.Series) -> pd.DataFrame:
+              d_street: pd.Series, g_street: pd.Series,
+              d_tokens: pd.Series, g_tokens: pd.Series) -> pd.DataFrame:
         trgm = trigram_sim_batch(d_core, g_core)
         jaro = np.zeros(len(trgm))
         m = trgm >= JARO_GATE
@@ -95,14 +110,21 @@ def with_pair_features(pairs: DataFrame) -> DataFrame:
             "trgm": trgm,
             "jaro": jaro,
             "street_sim": trigram_sim_batch(d_street, g_street),
+            "tok_cos": token_cosine_batch(d_tokens, g_tokens),
         })
 
     pairs = pairs.withColumn(
-        "_f", _feat("d_core", "g_core", "d_street", "g_street"))
+        "_f", _feat("d_core", "g_core", "d_street", "g_street",
+                    "d_tokens", "g_tokens"))
+    loc_base = (F.col("locality_sim") if "locality_sim" in pairs.columns
+                else F.lit(0.0))
     return (pairs
             .withColumn("trgm", F.col("_f.trgm"))
             .withColumn("jaro", F.col("_f.jaro"))
             .withColumn("street_sim", F.col("_f.street_sim"))
+            .withColumn("tok_cos", F.col("_f.tok_cos"))
+            .withColumn("locality_sim",
+                        F.greatest(loc_base, F.col("_f.tok_cos") * F.lit(0.5)))
             .drop("_f"))
 
 
@@ -138,6 +160,9 @@ def with_audit_levenshtein(pairs: DataFrame) -> DataFrame:
 
 def with_column_features(pairs: DataFrame) -> DataFrame:
     """F6-F11: pure column expressions (whole-stage codegen)."""
+    for c in ("d_name", "d_usrn", "g_usrn", "g_blpu"):
+        if c not in pairs.columns:
+            pairs = pairs.withColumn(c, F.lit(None).cast("string"))
     house_overlap = F.when(
         (F.size("d_house_numbers") > 0) & (F.size("g_house_numbers") > 0),
         F.arrays_overlap("d_house_numbers", "g_house_numbers"))
@@ -153,11 +178,8 @@ def with_column_features(pairs: DataFrame) -> DataFrame:
         F.greatest(F.least(F.size(F.split("d_locality", " ")),
                            F.size(F.split("g_locality", " "))), F.lit(1))
     ).otherwise(F.lit(0.0))
-    tok_overlap = F.when(
-        (F.size("d_tokens") > 0) & (F.size("g_tokens") > 0),
-        F.size(F.array_intersect("d_tokens", "g_tokens")) /
-        F.greatest(F.least(F.size("d_tokens"), F.size("g_tokens")), F.lit(1))
-    ).otherwise(F.lit(0.0))
+# tok fallback for locality_sim comes from the tf-cosine (F4) in
+    # with_pair_features; here only the pure column-algebra part
     dist = F.sqrt((F.col("d_e") - F.col("g_e")) ** 2 +
                   (F.col("d_n") - F.col("g_n")) ** 2)
     spatial_boost = F.when(
@@ -175,8 +197,12 @@ def with_column_features(pairs: DataFrame) -> DataFrame:
             .withColumn("house_conflict",
                         F.coalesce(both_house & ~same_house_exact &
                                    ~F.col("house_match"), F.lit(False)))
-            .withColumn("locality_sim",
-                        F.greatest(loc_overlap, tok_overlap * F.lit(0.5)))
+            # order-independent vs with_pair_features: keep the tf-cosine
+            # fallback if it was already applied
+            .withColumn("locality_sim", F.greatest(
+                F.coalesce(loc_overlap, F.lit(0.0)),
+                F.col("locality_sim") if "locality_sim" in pairs.columns
+                else F.lit(0.0)))
             .withColumn("phonetic_hit",
                         F.coalesce((F.col("d_phon") != "") &
                                    (F.col("d_phon") == F.col("g_phon")),
@@ -186,7 +212,25 @@ def with_column_features(pairs: DataFrame) -> DataFrame:
                                          F.col("g_e").isNotNull(), dist))
             .withColumn("pc_match", F.coalesce(pc_match, F.lit(False)))
             .withColumn("pc_district_match", F.coalesce(pc_district, F.lit(False)))
-            .withColumn("live", F.col("g_status") == "1"))
+            .withColumn("live", F.col("g_status") == "1")
+            # F11 meta flags (reference: internal/match/features.go:
+            # 128-143 — the reference STUBS usrn_match=false and
+            # blpu_class_compat=true for lack of data; here both are
+            # computed for real when the columns are populated, and
+            # surfaced as audit features, not score terms — the D1
+            # production weights don't use them, same as the reference)
+            .withColumn("usrn_match",
+                        F.coalesce(F.col("d_usrn").isNotNull() &
+                                   (F.col("d_usrn") == F.col("g_usrn")),
+                                   F.lit(False)))
+            .withColumn("blpu_class_compat",
+                        # a plain house-numbered residential doc vs a
+                        # commercial-class BLPU is the one clear conflict
+                        F.coalesce(
+                            ~((F.col("d_house") != "") &
+                              (F.coalesce(F.col("d_name"), F.lit("")) == "") &
+                              F.col("g_blpu").startswith("C")),
+                            F.lit(True))))
 
 
 def with_score(pairs: DataFrame) -> DataFrame:

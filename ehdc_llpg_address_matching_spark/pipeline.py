@@ -106,6 +106,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
                        n_salt=cfg.n_salt),
         C.cand_rule_rewrite(uaddr, gazp),
         C.cand_component_joins(uaddr, gazp),
+        C.cand_hierarchical(uaddr, gazp),
     ]
     if cfg.enable_spatial:
         gens.append(C.cand_spatial(uaddr, gazp, radius_m=cfg.spatial_radius_m))
