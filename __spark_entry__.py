@@ -207,21 +207,47 @@ def q_d8_banding(spark, sf):
             .agg(F.count("*").alias("n")))
 
 
+# the TPC-H analog of the engine's 5-level cascade (candidates.py
+# cand_hierarchical): level predicates most -> least specific, stop at
+# the first level with hits, base scores 0.95 -> 0.70
+J5_LEVELS = [
+    (1, 0.95, lambda o: (F.col("o_orderstatus") == "O") &
+     (F.col("o_totalprice") >= 150000)),
+    (2, 0.90, lambda o: F.col("o_orderstatus") == "O"),
+    (3, 0.80, lambda o: F.col("o_orderstatus") == "F"),
+    (4, 0.75, lambda o: F.col("o_orderpriority") == "1-URGENT"),
+    (5, 0.70, lambda o: F.lit(True)),
+]
+
+
 def q_j5_hierarchical(spark, sf):
-    """J5 hierarchical cascade: most-specific level wins via COALESCE."""
+    """J5 hierarchical cascade, the reference's 5-level stop-at-first
+    shape (internal/engine/hierarchical_matcher.go:51-107): per
+    customer, the most specific level with hits wins; base score
+    0.95/0.90/0.80/0.75/0.70 by level (the real engine path is
+    candidates.cand_hierarchical, pytest-gated)."""
     o = _t(spark, sf, "orders")
-    l1 = (o.filter(F.col("o_orderstatus") == "O")
-          .groupBy("o_custkey").agg(F.max("o_orderkey").alias("k1")))
-    l2 = o.groupBy("o_custkey").agg(F.max("o_orderkey").alias("k2"))
-    c = _t(spark, sf, "customer")
-    j = (c.join(l1, c.c_custkey == l1.o_custkey, "left").drop("o_custkey")
-         .join(l2, c.c_custkey == l2.o_custkey, "left").drop("o_custkey"))
+    c = _t(spark, sf, "customer").select("c_custkey")
+    j = c
+    for lvl, _score, pred in J5_LEVELS:
+        agg = (o.filter(pred(o)).groupBy("o_custkey")
+               .agg(F.max("o_orderkey").alias(f"k{lvl}")))
+        j = j.join(agg, c.c_custkey == agg.o_custkey, "left") \
+             .drop("o_custkey")
+    level = F.when(F.col("k1").isNotNull(), 1) \
+        .when(F.col("k2").isNotNull(), 2) \
+        .when(F.col("k3").isNotNull(), 3) \
+        .when(F.col("k4").isNotNull(), 4) \
+        .when(F.col("k5").isNotNull(), 5) \
+        .otherwise(0)
+    base = (F.when(level == 1, 0.95).when(level == 2, 0.90)
+            .when(level == 3, 0.80).when(level == 4, 0.75)
+            .when(level == 5, 0.70).otherwise(0.0))
     return j.select(
         "c_custkey",
-        F.coalesce("k1", "k2").alias("chosen_order"),
-        F.when(F.col("k1").isNotNull(), 1)
-         .when(F.col("k2").isNotNull(), 2)
-         .otherwise(0).alias("level"))
+        F.coalesce("k1", "k2", "k3", "k4", "k5").alias("chosen_order"),
+        level.alias("level"),
+        F.round(base, 2).alias("base_score"))
 
 
 def q_n2_regex_extract(spark, sf):
@@ -556,18 +582,38 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'POOR' END AS band, COUNT(*) AS n
             FROM orders GROUP BY 1""",
         "j5_hierarchical": """
+            WITH l1 AS (SELECT o_custkey, MAX(o_orderkey) AS k1 FROM orders
+                        WHERE o_orderstatus = 'O' AND o_totalprice >= 150000
+                        GROUP BY o_custkey),
+                 l2 AS (SELECT o_custkey, MAX(o_orderkey) AS k2 FROM orders
+                        WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+                 l3 AS (SELECT o_custkey, MAX(o_orderkey) AS k3 FROM orders
+                        WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+                 l4 AS (SELECT o_custkey, MAX(o_orderkey) AS k4 FROM orders
+                        WHERE o_orderpriority = '1-URGENT'
+                        GROUP BY o_custkey),
+                 l5 AS (SELECT o_custkey, MAX(o_orderkey) AS k5 FROM orders
+                        GROUP BY o_custkey)
             SELECT c.c_custkey,
-                   COALESCE(l1.k1, l2.k2) AS chosen_order,
-                   CASE WHEN l1.k1 IS NOT NULL THEN 1
-                        WHEN l2.k2 IS NOT NULL THEN 2
-                        ELSE 0 END AS level
+                   COALESCE(k1, k2, k3, k4, k5) AS chosen_order,
+                   CASE WHEN k1 IS NOT NULL THEN 1
+                        WHEN k2 IS NOT NULL THEN 2
+                        WHEN k3 IS NOT NULL THEN 3
+                        WHEN k4 IS NOT NULL THEN 4
+                        WHEN k5 IS NOT NULL THEN 5
+                        ELSE 0 END AS level,
+                   ROUND(CASE WHEN k1 IS NOT NULL THEN 0.95
+                              WHEN k2 IS NOT NULL THEN 0.90
+                              WHEN k3 IS NOT NULL THEN 0.80
+                              WHEN k4 IS NOT NULL THEN 0.75
+                              WHEN k5 IS NOT NULL THEN 0.70
+                              ELSE 0.0 END, 2) AS base_score
             FROM customer c
-            LEFT JOIN (SELECT o_custkey, MAX(o_orderkey) AS k1 FROM orders
-                       WHERE o_orderstatus = 'O' GROUP BY o_custkey) l1
-              ON c.c_custkey = l1.o_custkey
-            LEFT JOIN (SELECT o_custkey, MAX(o_orderkey) AS k2 FROM orders
-                       GROUP BY o_custkey) l2
-              ON c.c_custkey = l2.o_custkey""",
+            LEFT JOIN l1 ON c.c_custkey = l1.o_custkey
+            LEFT JOIN l2 ON c.c_custkey = l2.o_custkey
+            LEFT JOIN l3 ON c.c_custkey = l3.o_custkey
+            LEFT JOIN l4 ON c.c_custkey = l4.o_custkey
+            LEFT JOIN l5 ON c.c_custkey = l5.o_custkey""",
         "n2_regex_extract": """
             SELECT c_custkey,
                    COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,

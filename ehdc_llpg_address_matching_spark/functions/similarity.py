@@ -166,21 +166,33 @@ def token_cosine_batch(a_tokens, b_tokens) -> np.ndarray:
     over the union vocabulary of each pair; repeated tokens count.
     Both-empty => 1.0, one-empty => 0.0 (reference edge cases)."""
     from collections import Counter
+    cache: dict[tuple, tuple] = {}  # tf map + norm per UNIQUE token list
+    # candidate batches repeat both sides heavily (one doc vs many
+    # gazetteer rows); building the Counter once per unique list makes
+    # the per-pair work a small dict dot-product
+
+    def tf(toks):
+        key = tuple(toks) if toks is not None else ()
+        v = cache.get(key)
+        if v is None:
+            c = Counter(key)
+            v = (c, sum(x * x for x in c.values()) ** 0.5)
+            cache[key] = v
+        return v
+
     out = np.zeros(len(a_tokens))
     for i, (ta, tb) in enumerate(zip(a_tokens, b_tokens)):
-        la = list(ta) if ta is not None else []
-        lb = list(tb) if tb is not None else []
-        if not la and not lb:
+        ca, na = tf(ta)
+        cb, nb = tf(tb)
+        if not ca and not cb:
             out[i] = 1.0
             continue
-        if not la or not lb:
+        if not ca or not cb:
             continue
-        ca, cb = Counter(la), Counter(lb)
-        dot = sum(ca[t] * cb.get(t, 0) for t in ca)
-        na = sum(v * v for v in ca.values()) ** 0.5
-        nb = sum(v * v for v in cb.values()) ** 0.5
-        if na > 0 and nb > 0:
-            out[i] = dot / (na * nb)
+        if len(cb) < len(ca):
+            ca, cb = cb, ca
+        dot = sum(v * cb.get(t, 0) for t, v in ca.items())
+        out[i] = dot / (na * nb)
     return out
 
 

@@ -85,6 +85,102 @@ VIEW_DEFS = {
                SUM(CASE WHEN is_matched THEN 1 ELSE 0 END) AS n_matched,
                COUNT(DISTINCT final_uprn) AS n_uprns
         FROM fact_documents WHERE group_key IS NOT NULL GROUP BY group_key""",
+    # --- BI / dashboard family (migrations/013_*_lean variants fold in)
+    "vw_business_intelligence": """
+        SELECT match_quality, method,
+               COUNT(*) AS n_documents,
+               COUNT(DISTINCT final_uprn) AS n_distinct_uprns,
+               AVG(final_confidence) AS avg_confidence,
+               AVG(completeness_score) AS avg_completeness,
+               SUM(CASE WHEN is_corrected THEN 1 ELSE 0 END) AS n_corrected
+        FROM fact_documents GROUP BY match_quality, method""",
+    "vw_data_quality_dashboard": """
+        SELECT COUNT(*) AS total_documents,
+               SUM(CASE WHEN is_matched THEN 1 ELSE 0 END) AS matched,
+               SUM(CASE WHEN is_high_confidence THEN 1 ELSE 0 END) AS high_conf,
+               SUM(CASE WHEN NOT is_matched THEN 1 ELSE 0 END) AS unmatched,
+               SUM(CASE WHEN postcode = '' THEN 1 ELSE 0 END) AS missing_postcode,
+               AVG(completeness_score) AS avg_completeness,
+               SUM(CASE WHEN is_matched THEN 1 ELSE 0 END) * 1.0
+                 / GREATEST(COUNT(*), 1) AS match_rate
+        FROM fact_documents""",
+    "vw_geographic_summary": """
+        SELECT matched_postcode, COUNT(*) AS n_docs,
+               COUNT(DISTINCT final_uprn) AS n_uprns,
+               AVG(final_confidence) AS avg_conf,
+               AVG(matched_easting) AS centroid_easting,
+               AVG(matched_northing) AS centroid_northing
+        FROM fact_documents WHERE is_matched GROUP BY matched_postcode""",
+    "vw_spatial_analysis": """
+        SELECT CAST(FLOOR(matched_easting / 1000) AS BIGINT) AS km_x,
+               CAST(FLOOR(matched_northing / 1000) AS BIGINT) AS km_y,
+               COUNT(*) AS n_docs, AVG(final_confidence) AS avg_conf
+        FROM fact_documents
+        WHERE matched_easting IS NOT NULL GROUP BY 1, 2""",
+    "vw_documents_complete": """
+        SELECT doc_id, raw_address, addr_can, postcode, group_key,
+               final_uprn, matched_address, matched_postcode,
+               final_confidence, method, match_quality,
+               completeness_score, is_corrected
+        FROM fact_documents""",
+    "vw_missing_uprns": """
+        SELECT doc_id, raw_address, addr_can, postcode, group_key
+        FROM fact_documents
+        WHERE NOT is_matched AND addr_can <> ''""",
+    # --- planning-group consistency family (migrations/008)
+    "vw_planning_app_groups": """
+        SELECT group_key, COUNT(*) AS n_docs,
+               SUM(CASE WHEN is_matched THEN 1 ELSE 0 END) AS n_matched,
+               MIN(final_confidence) AS min_conf,
+               MAX(final_confidence) AS max_conf
+        FROM fact_documents WHERE group_key IS NOT NULL GROUP BY group_key""",
+    "vw_inconsistent_planning_groups": """
+        SELECT group_key, COUNT(DISTINCT final_uprn) AS n_uprns,
+               COUNT(*) AS n_matched_docs
+        FROM fact_documents
+        WHERE group_key IS NOT NULL AND is_matched
+        GROUP BY group_key HAVING COUNT(DISTINCT final_uprn) > 1""",
+    # --- audit / validation family
+    "vw_processing_audit": """
+        SELECT method, match_quality, COUNT(*) AS n,
+               MIN(final_confidence) AS min_conf,
+               MAX(final_confidence) AS max_conf,
+               AVG(final_confidence) AS avg_conf
+        FROM fact_documents WHERE is_matched GROUP BY method, match_quality""",
+    "vw_validation_issues": """
+        SELECT doc_id, raw_address, final_uprn, final_confidence,
+               CASE WHEN final_confidence < 0 OR final_confidence > 1
+                      THEN 'confidence_out_of_range'
+                    WHEN is_matched AND matched_address IS NULL
+                      THEN 'uprn_not_in_gazetteer'
+                    WHEN postcode <> '' AND matched_postcode <> ''
+                         AND postcode <> matched_postcode
+                      THEN 'postcode_mismatch'
+               END AS issue
+        FROM fact_documents
+        WHERE (final_confidence < 0 OR final_confidence > 1)
+           OR (is_matched AND matched_address IS NULL)
+           OR (postcode <> '' AND matched_postcode <> ''
+               AND postcode <> matched_postcode)""",
+    "vw_dimension_usage_stats": """
+        SELECT final_uprn, COUNT(*) AS n_documents,
+               AVG(final_confidence) AS avg_conf
+        FROM fact_documents WHERE is_matched GROUP BY final_uprn""",
+    # --- CSV-export family (internal/engine/exporter.go:60-441); the
+    # per-document-type variants are the same projection filtered by
+    # source_type, which local synth docs don't carry — these three are
+    # the shared shapes
+    "vw_csv_export_high_confidence": """
+        SELECT doc_id, raw_address, final_uprn, matched_address,
+               final_confidence, method
+        FROM fact_documents WHERE is_high_confidence""",
+    "vw_csv_export_unmatched": """
+        SELECT doc_id, raw_address, addr_can, postcode
+        FROM fact_documents WHERE NOT is_matched""",
+    "vw_csv_export_all_documents": """
+        SELECT doc_id, raw_address, final_uprn, matched_address,
+               matched_postcode, final_confidence, method, match_quality
+        FROM fact_documents""",
 }
 
 

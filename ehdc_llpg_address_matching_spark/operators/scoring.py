@@ -103,14 +103,19 @@ def with_pair_features(pairs: DataFrame) -> DataFrame:
               d_tokens: pd.Series, g_tokens: pd.Series) -> pd.DataFrame:
         trgm = trigram_sim_batch(d_core, g_core)
         jaro = np.zeros(len(trgm))
+        tok_cos = np.zeros(len(trgm))
         m = trgm >= JARO_GATE
         if m.any():
             jaro[m] = jaro_sim_batch(d_core[m], g_core[m])
+            # tok_cos rides the same gate: below it the pair can't
+            # reach the decision floor, so the tf work is skipped
+            tok_cos[m] = token_cosine_batch(
+                d_tokens[m].to_numpy(), g_tokens[m].to_numpy())
         return pd.DataFrame({
             "trgm": trgm,
             "jaro": jaro,
             "street_sim": trigram_sim_batch(d_street, g_street),
-            "tok_cos": token_cosine_batch(d_tokens, g_tokens),
+            "tok_cos": tok_cos,
         })
 
     pairs = pairs.withColumn(

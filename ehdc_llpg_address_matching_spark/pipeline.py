@@ -106,7 +106,6 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
                        n_salt=cfg.n_salt),
         C.cand_rule_rewrite(uaddr, gazp),
         C.cand_component_joins(uaddr, gazp),
-        C.cand_hierarchical(uaddr, gazp),
     ]
     if cfg.enable_spatial:
         gens.append(C.cand_spatial(uaddr, gazp, radius_m=cfg.spatial_radius_m))
@@ -114,7 +113,14 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         gens.append(C.cand_vector(uaddr, gazp, embed_dim=0,
                                   top_k=cfg.vector_top_k,
                                   min_sim=cfg.vector_min_sim))
-    cands = C.union_candidates(*gens).cache()
+    gens.append(C.cand_hierarchical(uaddr, gazp))
+    # eager localCheckpoint, not cache: the union of 7 generators (each
+    # a join tree over uaddr/gazp) is a LARGE logical plan, and every
+    # downstream action re-ANALYZES it even when execution hits the
+    # cache — checkpointing materializes the (small) candidate set and
+    # truncates the plan, the same cut the warehouse snapshot makes
+    # between phases at scale (plans/phases.py)
+    cands = C.union_candidates(*gens).localCheckpoint(eager=True)
 
     # --- phase: pair scoring (cheap column features -> JVM prefilter ->
     #     Arrow string-sim UDF -> weighted score)
@@ -133,7 +139,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     pair_strs = pairs.select("addr_id", "uprn", "d_core", "g_core") \
         .dropDuplicates(["addr_id", "uprn"])
     decided = S.with_audit_levenshtein(
-        decided_narrow.join(pair_strs, ["addr_id", "uprn"], "left")).cache()
+        decided_narrow.join(pair_strs, ["addr_id", "uprn"], "left")) \
+        .localCheckpoint(eager=True)
     acc = D.accepted(decided)
 
     # --- phase: fan-out to documents + legacy-UPRN overrides
@@ -154,7 +161,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     wd = Window.partitionBy("doc_id").orderBy(
         F.desc("confidence"), F.desc("score"), F.asc("uprn"))
     doc_matches = (both.withColumn("_rn", F.row_number().over(wd))
-                   .filter(F.col("_rn") == 1).drop("_rn")).cache()
+                   .filter(F.col("_rn") == 1).drop("_rn")) \
+        .localCheckpoint(eager=True)  # feeds CC + consensus + rescue + output
 
     # --- phase: connected components + consensus corrections + G2 rescue
     edges = build_edges(doc_matches, docs_n)
