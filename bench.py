@@ -139,10 +139,10 @@ def run_scoring_phase(spark, pairs_path: str, n_cpus: int,
     from ehdc_llpg_address_matching_spark.operators import scoring as S
 
     need = ["addr_id", "uprn", "methods", "d_core", "g_core", "d_street",
-            "g_street", "d_vague", "house_match", "house_exact",
-            "house_conflict", "g_source_type", "locality_sim",
-            "phonetic_hit", "spatial_boost", "pc_match", "live",
-            "d_pc", "g_pc"]
+            "g_street", "d_tokens", "g_tokens", "d_vague", "house_match",
+            "house_exact", "house_conflict", "g_source_type",
+            "locality_sim", "phonetic_hit", "spatial_boost", "pc_match",
+            "live", "d_pc", "g_pc", "method_conf"]
     pairs = (S.prefilter_pairs(spark.read.parquet(pairs_path))
              .select(*need).repartition(n_cpus * 4).cache())
     n_pairs = pairs.count()
@@ -216,6 +216,8 @@ def main():
         n_large = n_small * 4
         runs = {}
         for n_cpu in (n_small, n_large):
+            time.sleep(5)  # let the previous JVM's workers actually exit —
+            # back-to-back sessions contend and skew the small/large ratio
             sp = _make_spark(n_cpu, f"bench-scale-{n_cpu}")
             runs[n_cpu] = run_scoring_phase(sp, pairs_path, n_cpu)
             sp.stop()
