@@ -402,6 +402,19 @@ def q_lsh_ann_topk(spark, sf):
     return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=3, dim=64)
 
 
+def q_ivf_ann_topk(spark, sf):
+    """IVF ANN (k-means coarse quantizer, n_probe cells, exact
+    re-rank) — the second approximate scale path next to LSH. With
+    n_probe = n_cells the result is exactly brute force, which is what
+    this entry runs so the DuckDB oracle can check it; the approximate
+    setting's recall is pytest-gated (tests/test_dedup_ann_text.py)."""
+    from ehdc_llpg_address_matching_spark.operators.ann import ivf_topk
+    emb = _t(spark, sf, "embeddings")
+    out = ivf_topk(emb.filter(F.col("vec_id") < 20), emb, k=3,
+                   n_cells=8, n_probe=8, dim=64)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_connected_components(spark, sf):
     """Large-star/small-star CC over the bipartite customer-order graph.
     Oracle-checkable: each component is one customer plus its orders and
@@ -495,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "connected_components": q_connected_components,
         "linkage_pipeline": q_linkage_pipeline,
         "media_metadata": q_media_metadata,
@@ -719,6 +733,17 @@ def oracle_sql() -> dict[str, str]:
         # the engine.
         "minhash_lsh_pairs": NEAR_DUP_ORACLE_SQL,
         "simhash_pairs": NEAR_DUP_ORACLE_SQL,
+        "ivf_ann_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) DESC,
+                                b.vec_id) AS rank
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 20)
+            WHERE rank <= 3""",
         # bipartite customer-order graph: each component is exactly one
         # customer plus its orders; 'c:<custkey>' < 'o:<orderkey>'
         # lexicographically, so the min-label CC answer has a closed form

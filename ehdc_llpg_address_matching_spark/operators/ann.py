@@ -74,6 +74,89 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     f"cosine double, rank int")
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = 16, n_probe: int = 4, dim: int | None = None,
+             seed: int = 13, sample_rows: int = 50_000,
+             exclude_self: bool = True) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> corpus
+    bucketed by nearest centroid (one map-only pass) -> each query
+    probes its n_probe nearest cells -> equi-join on cell id -> exact
+    cosine re-rank -> top-k window.
+
+    The alternative scale path to lsh_topk: centroids are trained once
+    on a bounded sample (driver-side Lloyd iterations on <= sample_rows
+    vectors, deterministic seed), then everything is a broadcast of a
+    (n_cells x d) matrix plus ONE shuffle on the short cell key. Recall
+    grows with n_probe; n_probe = n_cells degenerates to exact."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    # --- train the coarse quantizer on a deterministic sample
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float32)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(sample))
+    cent = sample[rs.choice(len(sample), n_cells, replace=False)].copy()
+    for _ in range(10):  # Lloyd iterations, fixed count => deterministic
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    b_cent = spark.sparkContext.broadcast(cent)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    def _cells_udf(probe: int):
+        @pandas_udf(ArrayType(IntegerType()))
+        def _cells(vecs: pd.Series) -> pd.Series:
+            C = b_cent.value
+            V = np.array(vecs.to_list(), dtype=np.float32)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
+            sims = V @ C.T
+            p = min(probe, sims.shape[1])
+            idx = np.argpartition(-sims, kth=p - 1, axis=1)[:, :p]
+            return pd.Series([row.tolist() for row in idx])
+        return _cells
+
+    ck = (corpus.withColumn("_c", _cells_udf(1)(F.col(vec_col)))
+          .select(F.col(id_col).alias("c_id"),
+                  F.col(vec_col).alias("c_vec"),
+                  F.explode("_c").alias("cell")))
+    qk = (queries.withColumn("_c", _cells_udf(n_probe)(F.col(vec_col)))
+          .select(F.col(id_col).alias("q_id"),
+                  F.col(vec_col).alias("q_vec"),
+                  F.explode("_c").alias("cell")))
+    cand = qk.join(ck, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("c_id"))
+    # a (query, corpus-row) pair can meet in at most one cell (corpus
+    # rows live in exactly one cell), so no distinct needed
+    dot = F.aggregate(F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    qn = F.sqrt(F.aggregate(F.transform("q_vec", lambda a: a * a),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    cn = F.sqrt(F.aggregate(F.transform("c_vec", lambda a: a * a),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    cand = cand.withColumn("cosine", dot / F.greatest(qn * cn, F.lit(1e-12)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (cand
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("q_id").alias("query_id"),
+                    F.col("c_id").alias("neighbor_id"), "cosine", "rank"))
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 12, n_tables: int = 4, dim: int | None = None,

@@ -507,10 +507,13 @@ def cand_vector(uaddr: DataFrame, gazp: DataFrame, embed_dim: int,
             yield pd.DataFrame({
                 "addr_id": pdf["addr_id"].to_numpy()[bi],
                 "uprn": u[idx[bi, ki]],
+                # clamp to the reference's (dot+1)/2 in [0,1]
+                # (internal/engine/vector_db.go:171-193)
+                "vec_sim": (rows_sim[bi, ki].astype(float) + 1.0) / 2.0,
             })
 
     out = uaddr.select("addr_id", "addr_core").mapInPandas(
-        score_batches, schema="addr_id string, uprn string")
+        score_batches, schema="addr_id string, uprn string, vec_sim double")
     return out.withColumn("method", F.lit("vector"))
 
 
@@ -523,12 +526,14 @@ def union_candidates(*cands: DataFrame) -> DataFrame:
     for c in cands:
         if c is None:
             continue
-        if "method_conf" not in c.columns:
-            c = c.withColumn("method_conf", F.lit(None).cast("double"))
+        for col in ("method_conf", "vec_sim"):
+            if col not in c.columns:
+                c = c.withColumn(col, F.lit(None).cast("double"))
         withc.append(c)
     allc = withc[0]
     for c in withc[1:]:
         allc = allc.unionByName(c)
     return (allc.groupBy("addr_id", "uprn")
             .agg(F.collect_set("method").alias("methods"),
-                 F.max("method_conf").alias("method_conf")))
+                 F.max("method_conf").alias("method_conf"),
+                 F.max("vec_sim").alias("vec_sim")))

@@ -256,6 +256,18 @@ def with_score(pairs: DataFrame) -> DataFrame:
                     F.lit(W["nophon_penalty"])).otherwise(F.lit(0.0))
            + F.when(F.col("pc_match"), F.lit(0.05)).otherwise(F.lit(0.0)))
     score = F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+    if "vec_sim" in pairs.columns:
+        # J9/F5 combined vector score (reference:
+        # internal/engine/vector_matcher.go:322-361): 0.7*semantic +
+        # 0.3*trigram + token bonus <= 0.10 — an alternative score path
+        # for pairs the ANN generator surfaced; the house gate below
+        # still applies (combined runs BEFORE the conflict crush)
+        combined = (F.lit(0.7) * F.col("vec_sim")
+                    + F.lit(0.3) * F.col("trgm")
+                    + F.least(F.col("tok_cos") * F.lit(0.1), F.lit(0.10)))
+        score = F.when(F.col("vec_sim").isNotNull(),
+                       F.greatest(score, F.least(combined, F.lit(1.0)))) \
+                 .otherwise(score)
     score = F.when(F.col("house_conflict"), score * F.lit(0.1)).otherwise(score)
     # exact-canonical candidates score 0.99 regardless of fuzz
     score = F.when(F.array_contains("methods", "exact_canonical"),
