@@ -98,6 +98,31 @@ def test_blocked_candidates_no_cartesian(spark, prepared):
             + r["broadcast_hash_joins"]) >= 1
 
 
+def test_rescue_join_is_equi_not_nlj(spark, prepared):
+    """G2 rescue must be a shuffle-bounded token equi-join: the round-1
+    size(array_intersect)>=2 theta-join planned as a
+    BroadcastNestedLoopJoin (groups x gazetteer pair evaluations)."""
+    from ehdc_llpg_address_matching_spark.operators.rescue import \
+        group_fuzzy_rescue
+    gazp, docs_n, _, _ = prepared
+    matched = docs_n.select("doc_id").limit(0)
+    df = group_fuzzy_rescue(docs_n, matched, gazp)
+    r = plan_report(df)
+    assert r["nested_loop_joins"] == 0
+    assert (r["sort_merge_joins"] + r["shuffled_hash_joins"]
+            + r["broadcast_hash_joins"]) >= 1
+
+
+def test_rule_and_hierarchical_no_cartesian(spark, prepared):
+    """J7 rewrite join and the J5 cascade are all equi-joins."""
+    gazp, _, uaddr, _ = prepared
+    for df in (C.cand_rule_rewrite(uaddr, gazp),
+               C.cand_hierarchical(uaddr, gazp),
+               C.cand_component_joins(uaddr, gazp)):
+        r = plan_report(df)
+        assert r["nested_loop_joins"] == 0
+
+
 def test_wholestage_codegen_covers_column_features(spark, prepared):
     gazp, _, uaddr, _ = prepared
     cands = C.union_candidates(C.cand_exact_canonical(uaddr, gazp))
