@@ -55,6 +55,36 @@ def start_incremental_linkage(stream: DataFrame, gaz: DataFrame,
     return w.start()
 
 
+def stream_static_candidates(stream_docs: DataFrame,
+                             gazp: DataFrame) -> DataFrame:
+    """CONTINUOUS (non-foreachBatch) linkage front end: normalize the
+    document stream with the same stateless Arrow UDFs the batch path
+    uses, derive blocking keys, and stream-static inner-join against
+    the prepared gazetteer's exploded key index. Spark keeps the static
+    side as a plain batch relation (re-broadcast per micro-batch under
+    AQE), the stream side never accumulates state — this is the
+    always-on candidate generator in front of the scoring phase.
+
+    Returns a STREAMING DataFrame (doc_id, addr_can, postcode, uprn,
+    block_kind) — exact-canonical agreement collapses to method
+    'exact'; everything else is a blocked fuzzy candidate for the
+    downstream scorer."""
+    from ..operators.blocking import explode_keys, with_blocking_keys
+    from ..pipeline import normalize_documents
+
+    d = normalize_documents(stream_docs, None)
+    d = with_blocking_keys(d)
+    dk = explode_keys(d, ["doc_id", "addr_can", "postcode", "addr_core"])
+    gk = explode_keys(gazp, ["uprn"]) \
+        .withColumnRenamed("block_kind", "g_kind") \
+        .withColumnRenamed("block_key", "g_key")
+    # NO dropDuplicates here: on a stream it would pin unbounded state;
+    # the scoring phase's (addr, uprn) groupBy collapses multi-key hits
+    return (dk.join(gk, (dk.block_kind == gk.g_kind) &
+                    (dk.block_key == gk.g_key), "inner")
+            .select("doc_id", "addr_can", "postcode", "uprn", "block_kind"))
+
+
 def streaming_dedup(stream: DataFrame, fingerprint_col: str = "fingerprint",
                     id_col: str = "doc_id"):
     """Custom stateful streaming operator: exactly-once-per-fingerprint

@@ -143,10 +143,16 @@ def test_fact_corrections_overlay(spark, small_gazp, fact):
 def test_views(spark, fact):
     names = facts.register_views(spark, fact)
     assert "vw_needs_review" in names
+    assert len(facts.VIEW_DEFS) >= 20  # S8: the reference's view surface
     perf = spark.sql("SELECT * FROM vw_match_method_performance").collect()
     assert {r["method"] for r in perf} == {"exact", "fuzzy"}
     hq = spark.sql("SELECT doc_id FROM vw_high_quality_matches").collect()
     assert [r["doc_id"] for r in hq] == ["d1"]
+    # every registered view must actually execute
+    for name in facts.VIEW_DEFS:
+        spark.sql(f"SELECT * FROM {name}").collect()
+    dq = spark.sql("SELECT * FROM vw_data_quality_dashboard").collect()[0]
+    assert dq["total_documents"] == dq["matched"] + dq["unmatched"]
 
 
 def test_export(tmp_path, fact):

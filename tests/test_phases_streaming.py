@@ -20,9 +20,10 @@ CFG = PipelineConfig(enable_vector=False, enable_spatial=False,
 
 @pytest.fixture(scope="module")
 def corpus(spark):
-    gaz, docs, gold = synth_tables(SynthConfig(seed=5, n_gazetteer=150,
-                                               n_docs=200))
-    return spark.createDataFrame(docs), spark.createDataFrame(gaz), gold
+    from ehdc_llpg_address_matching_spark.synth import synth_spark_tables
+    gaz_df, docs_df, gold = synth_spark_tables(
+        spark, SynthConfig(seed=5, n_gazetteer=150, n_docs=200))
+    return docs_df, gaz_df, gold
 
 
 def test_phased_run_and_resume(spark, tmp_path, corpus):
@@ -147,3 +148,44 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     fps = sorted(r["fingerprint"] for r in rows)
     assert fps == [11, 22, 33]  # 11 emitted exactly once across batches
+
+
+def test_stream_static_candidate_join(spark, tmp_path, corpus):
+    """Continuous (non-foreachBatch) stream-static join: the streaming
+    doc normalizer + blocking join against the static gazetteer must
+    produce candidates covering the batch path's exact hits."""
+    from ehdc_llpg_address_matching_spark.operators.candidates import \
+        prepare_gazetteer
+    from ehdc_llpg_address_matching_spark.streaming.ingest import \
+        stream_static_candidates
+
+    docs, gaz, gold = corpus
+    src = str(tmp_path / "stream_src")
+    docs.limit(40).write.parquet(src)
+    gazp = prepare_gazetteer(gaz).cache()
+    stream = read_document_stream(spark, src, max_files_per_trigger=2)
+    assert stream.isStreaming
+    cand = stream_static_candidates(stream, gazp)
+    assert cand.isStreaming
+    out = str(tmp_path / "stream_cand_out")
+    q = (cand.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt_cand"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_docs_with_cand = got.select("doc_id").distinct().count()
+    # every directly-matchable doc must surface at least one candidate
+    # (consensus_rescue docs get their gold UPRN from the group vote,
+    # not from a candidate join — the streaming front end rightly
+    # leaves them to the clustering phase)
+    matchable = {r["doc_id"] for _, r in gold.iterrows()
+                 if r["uprn"] is not None
+                 and r["difficulty"] not in ("consensus_rescue",
+                                             "unmatchable")}
+    doc_ids = {r["doc_id"] for r in
+               docs.limit(40).select("doc_id").collect()}
+    covered = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
+    missing = (doc_ids & matchable) - covered
+    assert not missing, f"stream candidates missed {missing}"
+    assert n_docs_with_cand > 0
