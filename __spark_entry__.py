@@ -250,6 +250,40 @@ def q_j5_hierarchical(spark, sf):
         F.round(base, 2).alias("base_score"))
 
 
+def q_j7_rule_rewrite(spark, sf):
+    """J7 rewrite-then-join shape on TPC-H: first-matching-rule CASE
+    rewrite of p_type (ECONOMY->PROMO base 0.90, STANDARD->MEDIUM 0.80,
+    SMALL->LARGE 0.70), then an equi-join against the type domain —
+    the engine path (trigram-joined, sim-adjusted) is
+    candidates.cand_rule_rewrite, pytest-gated."""
+    p = _t(spark, sf, "part")
+    rw = (F.when(F.col("p_type").startswith("ECONOMY"),
+                 F.struct(F.lit("economy").alias("rule"),
+                          F.lit(0.90).alias("conf"),
+                          F.regexp_replace("p_type", "^ECONOMY", "PROMO")
+                          .alias("rw")))
+          .when(F.col("p_type").startswith("STANDARD"),
+                F.struct(F.lit("standard").alias("rule"),
+                         F.lit(0.80).alias("conf"),
+                         F.regexp_replace("p_type", "^STANDARD", "MEDIUM")
+                         .alias("rw")))
+          .when(F.col("p_type").startswith("SMALL"),
+                F.struct(F.lit("small").alias("rule"),
+                         F.lit(0.70).alias("conf"),
+                         F.regexp_replace("p_type", "^SMALL", "LARGE")
+                         .alias("rw"))))
+    src = (p.withColumn("_r", rw).filter(F.col("_r").isNotNull())
+           .select("p_partkey", F.col("_r.rule").alias("rule"),
+                   F.col("_r.conf").alias("rule_conf"),
+                   F.col("_r.rw").alias("rw")))
+    dom = (p.groupBy(F.col("p_type").alias("t"))
+           .agg(F.count("*").alias("n_targets")))
+    return (src.join(dom, src.rw == dom.t, "inner")
+            .select("p_partkey", "rule",
+                    F.round("rule_conf", 2).alias("rule_conf"),
+                    "n_targets"))
+
+
 def q_n2_regex_extract(spark, sf):
     """N2-style scalar regex chain (extract + upper + trim)."""
     return (_t(spark, sf, "customer")
@@ -494,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_keep_best": q_d7_keep_best,
         "d8_banding": q_d8_banding,
         "j5_hierarchical": q_j5_hierarchical,
+        "j7_rule_rewrite": q_j7_rule_rewrite,
         "n2_regex_extract": q_n2_regex_extract,
         "n1_canonicalize": q_n1_canonicalize,
         "text_token_stats": q_text_token_stats,
@@ -595,6 +630,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o_totalprice >= 50000 THEN 'FAIR'
                         ELSE 'POOR' END AS band, COUNT(*) AS n
             FROM orders GROUP BY 1""",
+        "j7_rule_rewrite": """
+            WITH src AS (
+              SELECT p_partkey,
+                     CASE WHEN p_type LIKE 'ECONOMY%' THEN 'economy'
+                          WHEN p_type LIKE 'STANDARD%' THEN 'standard'
+                          WHEN p_type LIKE 'SMALL%' THEN 'small' END AS rule,
+                     CASE WHEN p_type LIKE 'ECONOMY%' THEN 0.90
+                          WHEN p_type LIKE 'STANDARD%' THEN 0.80
+                          WHEN p_type LIKE 'SMALL%' THEN 0.70 END AS rule_conf,
+                     CASE WHEN p_type LIKE 'ECONOMY%'
+                            THEN regexp_replace(p_type, '^ECONOMY', 'PROMO')
+                          WHEN p_type LIKE 'STANDARD%'
+                            THEN regexp_replace(p_type, '^STANDARD', 'MEDIUM')
+                          WHEN p_type LIKE 'SMALL%'
+                            THEN regexp_replace(p_type, '^SMALL', 'LARGE')
+                     END AS rw
+              FROM part),
+            dom AS (SELECT p_type AS t, COUNT(*) AS n_targets
+                    FROM part GROUP BY p_type)
+            SELECT p_partkey, rule, ROUND(rule_conf, 2) AS rule_conf,
+                   n_targets
+            FROM src JOIN dom ON src.rw = dom.t
+            WHERE rule IS NOT NULL""",
         "j5_hierarchical": """
             WITH l1 AS (SELECT o_custkey, MAX(o_orderkey) AS k1 FROM orders
                         WHERE o_orderstatus = 'O' AND o_totalprice >= 150000

@@ -68,3 +68,21 @@ def test_warehouse_upsert(spark, tmp_path):
     out = {r["doc_id"]: (r["uprn"], r["confidence"])
            for r in wh.load("matches").collect()}
     assert out == {"d1": ("U1", 0.8), "d2": ("U9", 0.95), "d3": ("U3", 0.7)}
+
+
+@given(st.lists(st.lists(st.text(alphabet="ABCDE", min_size=1, max_size=4),
+                         max_size=8), min_size=1, max_size=15))
+@settings(max_examples=30, deadline=None)
+def test_token_cosine_bounds_and_identity(token_lists):
+    from ehdc_llpg_address_matching_spark.functions.similarity import \
+        token_cosine_batch
+    a = pd.Series(token_lists)
+    out = token_cosine_batch(a, a)
+    assert ((out >= 0.0) & (out <= 1.0 + 1e-9)).all()
+    # self-cosine is exactly 1 (also for the both-empty convention)
+    assert (abs(out - 1.0) < 1e-9).all()
+    # symmetry against a shifted copy
+    b = pd.Series(token_lists[1:] + token_lists[:1])
+    ab = token_cosine_batch(a, b)
+    ba = token_cosine_batch(b, a)
+    assert (abs(ab - ba) < 1e-9).all()
