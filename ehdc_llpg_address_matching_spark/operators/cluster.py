@@ -75,10 +75,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     try:
         e = e.repartition(npart, "a").localCheckpoint(eager=True)
         prev_sig = None
-        for _ in range(max_iter):
-            # two star rounds per checkpoint: halves the materialization
-            # barriers; star graphs converge in 2-3 rounds anyway
-            e = _small_star(_large_star(e))
+        for it in range(max_iter):
+            # one (large, small) double-round per convergence check:
+            # star-shaped graphs (the common linkage case) converge in
+            # ONE round, so checking early halves their wall-clock; deep
+            # path graphs pay one extra cheap count+hash job per round
             e = _small_star(_large_star(e)).localCheckpoint(eager=True)
             sig = e.agg(F.count("*").alias("n"),
                         F.expr("bit_xor(xxhash64(a, b))").alias("h")
