@@ -397,6 +397,18 @@ def q_embedding_near_dup(spark, sf):
             .select("id_a", "id_b"))
 
 
+def q_near_dup_clusters(spark, sf):
+    """Composite corpus dedup: LSH candidates -> exact Jaccard verify
+    -> connected components -> canonical doc per near-dup CLUSTER
+    (transitive closure; oracle = DuckDB recursive CTE over the exact
+    all-pairs Jaccard graph)."""
+    from ehdc_llpg_address_matching_spark.operators.dedup import \
+        near_dup_clusters
+    return near_dup_clusters(_t(spark, sf, "documents"),
+                             jaccard_threshold=0.5) \
+        .select("doc_id", "canonical_id", "is_duplicate")
+
+
 def q_stream_windowed_counts(spark, sf):
     """Streaming-shaped windowed aggregation, run in batch mode
     (tumbling 1-minute windows by event_type)."""
@@ -538,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_top1": q_ann_top1,
         "embedding_near_dup": q_embedding_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
         "stream_windowed_counts": q_stream_windowed_counts,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -802,6 +815,27 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
               WHERE a.vec_id < 20)
             WHERE rank <= 3""",
+        "near_dup_clusters": """
+            WITH RECURSIVE p AS (""" + NEAR_DUP_ORACLE_SQL.replace(
+                "SELECT a.doc_id AS id_a, b.doc_id AS id_b,",
+                "SELECT a.doc_id AS id_a, b.doc_id AS id_b,").replace(
+                "ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /\n                 len(list_distinct(a.sh || b.sh)), 4) AS jaccard", "0 AS _x") + """
+            ),
+            sym AS (SELECT id_a AS a, id_b AS b FROM p
+                    UNION ALL SELECT id_b, id_a FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b <> r.a
+            )
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id))
+                     AS canonical_id,
+                   LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) <> d.doc_id
+                     AS is_duplicate
+            FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+            GROUP BY d.doc_id""",
         # bipartite customer-order graph: each component is exactly one
         # customer plus its orders; 'c:<custkey>' < 'o:<orderkey>'
         # lexicographically, so the min-label CC answer has a closed form

@@ -224,6 +224,36 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text",
                                 threshold=jaccard_threshold)
 
 
+def near_dup_clusters(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_k: int = 5,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """The full corpus-dedup composite a training pipeline runs:
+    minhash-LSH candidates -> exact shingle-Jaccard verify ->
+    large-star/small-star connected components over the verified pairs
+    -> (doc_id, canonical_id, is_duplicate), canonical = min doc id of
+    the near-dup CLUSTER (transitive: A~B, B~C puts A,C in one cluster
+    even when A~C alone misses the threshold)."""
+    from .cluster import connected_components
+
+    pairs = minhash_near_dup(df, text_col, id_col, shingle_k,
+                             jaccard_threshold)
+    # CC picks the lexicographic-min node label as the component id;
+    # zero-pad numeric ids so string order == numeric order
+    id_type = dict(df.dtypes)[id_col]
+    pad = (lambda c: F.lpad(F.col(c).cast("string"), 20, "0")) \
+        if id_type != "string" else (lambda c: F.col(c))
+    edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
+    comp = connected_components(edges)
+    comp = comp.select(F.col("node").cast(id_type).alias(id_col),
+                       F.col("component").cast(id_type).alias("canonical_id"))
+    return (df.select(id_col)
+            .join(comp, id_col, "left")
+            .withColumn("canonical_id",
+                        F.coalesce("canonical_id", F.col(id_col)))
+            .withColumn("is_duplicate",
+                        F.col("canonical_id") != F.col(id_col)))
+
+
 def ngram_jaccard_verify(pairs: DataFrame, docs: DataFrame,
                          text_col: str = "text", id_col: str = "doc_id",
                          shingle_k: int = 5,

@@ -160,3 +160,21 @@ def test_frame_sample_plan(spark):
     plan = media.frame_sample_plan(meta).toPandas()
     assert len(plan) >= 1
     assert (plan["frame_idx"] % 30 == 0).all()
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C must cluster A,B,C together even when A~C alone is
+    below the threshold; canonical = min doc id."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    a = base + "alpha beta gamma delta epsilon zeta"
+    b = base + "alpha beta gamma delta epsilon omega"   # ~a
+    c = base + "alpha beta gamma theta kappa omega"     # ~b, further from a
+    other = "completely different text about spark shuffles " * 5
+    df = spark.createDataFrame(
+        [(3, c), (1, a), (2, b), (9, other)], "doc_id long, text string")
+    out = dedup.near_dup_clusters(df, jaccard_threshold=0.5).toPandas() \
+        .set_index("doc_id")
+    assert out.loc[1, "canonical_id"] == 1 and not out.loc[1, "is_duplicate"]
+    assert out.loc[2, "canonical_id"] == 1 and out.loc[2, "is_duplicate"]
+    assert out.loc[3, "canonical_id"] == 1 and out.loc[3, "is_duplicate"]
+    assert out.loc[9, "canonical_id"] == 9 and not out.loc[9, "is_duplicate"]
