@@ -79,8 +79,8 @@ def run_linkage(spark, docs_path: str, gaz_path: str) -> dict:
     }
 
 
-SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
-SCALE_GAZ = int(os.environ.get("BENCH_SCALE_GAZ", "10000"))
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "200000"))
+SCALE_GAZ = int(os.environ.get("BENCH_SCALE_GAZ", "20000"))
 
 
 def _materialize_pairs(tmp: str) -> str:
