@@ -8,11 +8,25 @@ on local[$SPARK_GRAFT_CPUS]. The linkage section runs the full
 pipeline on a deterministic synthetic spans corpus and reports
 candidate-pairs-scored/sec and docs/sec. The scaling section evidences
 the north rule's two-cluster-size criterion in-sandbox: the same
-linkage job at local[N] and local[4N], throughput at both, efficiency
-= T(4N) / (4 * T(N)).
+pair-scoring job at local[N] and local[4N], throughput at both,
+efficiency = T(4N) / (4 * T(N)).
+
+Robustness (round-3 fixes after BENCH_r02 died mid-materialize and
+zeroed the whole artifact):
+- headline + linkage run FIRST; the scaling section runs last and is
+  wrapped, so a scaling failure still emits every other number;
+- every section is try/except'd into an "errors" field of the single
+  JSON line;
+- the scale-pair materialize writes the PREFILTERED, column-pruned
+  pair table (the timed phase starts from prefiltered input anyway),
+  ~10x smaller than round 2's unfiltered wide write;
+- resume guard is the parquet _SUCCESS marker, written via temp dir +
+  atomic rename — a failed write can't poison later runs;
+- driver heap defaults to 16g (set before the first JVM launch; in
+  one Python process the first launch fixes -Xmx for all sessions).
 
 Set SPARK_GRAFT_SKIP_SCALING=1 to skip the scaling section (it restarts
-the JVM twice).
+the Spark context twice).
 """
 
 from __future__ import annotations
@@ -22,8 +36,14 @@ import os
 import shutil
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Must be in the environment before the first get_spark() in this
+# process: local-mode hosts all executor threads' parquet writers in
+# the driver JVM, and 8g was implicated in the round-2 materialize OOM.
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -38,6 +58,22 @@ BENCH_QUERIES = [
 
 LINKAGE_GAZ = int(os.environ.get("BENCH_GAZ", "4000"))
 LINKAGE_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+
+# Round-2 doubled these to 200k/20k and the unfiltered pair write OOMed
+# the whole bench; 100k/10k materializes in ~4 min (measured) and the
+# corpus-size-scaling table in BASELINE.md already covers 100k.
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
+SCALE_GAZ = int(os.environ.get("BENCH_SCALE_GAZ", "10000"))
+
+# Narrow projection the scoring phase needs — written at materialize
+# time so the scale-pair parquet carries no wide audit columns.
+SCORING_COLS = [
+    "addr_id", "uprn", "methods", "d_core", "g_core", "d_street",
+    "g_street", "d_tokens", "g_tokens", "d_vague", "house_match",
+    "house_exact", "house_conflict", "g_source_type",
+    "locality_sim", "phonetic_hit", "spatial_boost", "pc_match",
+    "live", "d_pc", "g_pc", "method_conf",
+]
 
 
 def _make_spark(n_cpus: int, app: str):
@@ -55,8 +91,6 @@ def _synth_corpus(tmp: str) -> tuple[str, str]:
 
 
 def run_linkage(spark, docs_path: str, gaz_path: str) -> dict:
-    from pyspark.sql import functions as F
-
     from ehdc_llpg_address_matching_spark.pipeline import (PipelineConfig,
                                                            run_pipeline)
     docs = spark.read.parquet(docs_path)
@@ -79,20 +113,17 @@ def run_linkage(spark, docs_path: str, gaz_path: str) -> dict:
     }
 
 
-SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "200000"))
-SCALE_GAZ = int(os.environ.get("BENCH_SCALE_GAZ", "20000"))
-
-
 def _materialize_pairs(tmp: str) -> str:
     """One-time: synth a larger corpus, run candidate generation +
-    cheap-feature prefilter once, write the pair table to parquet.
-    The scaling measurement then times ONLY the scale-dominant phase
-    (Arrow pair scoring + decision) over this fixed input — the shape
-    of a phased 100 TB deployment where each phase is its own job over
-    Iceberg tables."""
+    cheap-feature prefilter once, write the narrow prefiltered pair
+    table to parquet. The scaling measurement then times ONLY the
+    scale-dominant phase (Arrow pair scoring + decision) over this
+    fixed input — the shape of a phased 100 TB deployment where each
+    phase is its own job over Iceberg tables."""
     pairs_path = os.path.join(tmp, "pairs.parquet")
-    if os.path.exists(pairs_path):
+    if os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
         return pairs_path
+    shutil.rmtree(pairs_path, ignore_errors=True)  # stale partial write
     from ehdc_llpg_address_matching_spark.functions.symspell import \
         build_dictionary_from_gazetteer
     from ehdc_llpg_address_matching_spark.operators import candidates as C
@@ -103,9 +134,12 @@ def _materialize_pairs(tmp: str) -> str:
     from ehdc_llpg_address_matching_spark.synth import SynthConfig, write_parquet
 
     os.makedirs(tmp, exist_ok=True)
-    if not os.path.exists(os.path.join(tmp, "documents.parquet")):
+    # synth writes single pandas parquet FILES; completion marker is ours
+    corpus_ok = os.path.join(tmp, "_CORPUS_OK")
+    if not os.path.exists(corpus_ok):
         write_parquet(tmp, SynthConfig(seed=42, n_gazetteer=SCALE_GAZ,
                                        n_docs=SCALE_DOCS))
+        open(corpus_ok, "w").close()
     spark = _make_spark(CPUS, "bench-materialize")
     docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
     gaz = spark.read.parquet(os.path.join(tmp, "gazetteer.parquet"))
@@ -117,10 +151,19 @@ def _materialize_pairs(tmp: str) -> str:
         C.cand_exact_canonical(uaddr, gazp),
         C.cand_blocked(uaddr, gazp),
         C.cand_rule_rewrite(uaddr, gazp))
-    # unfiltered: the timed phase applies the prefilter itself
-    pairs = S.with_column_features(S.attach_pair_attrs(cands, uaddr, gazp))
-    pairs.write.mode("overwrite").parquet(pairs_path)
-    spark.stop()
+    pairs = (S.prefilter_pairs(
+                 S.with_column_features(S.attach_pair_attrs(cands, uaddr, gazp)))
+             .select(*SCORING_COLS))
+    tmp_out = pairs_path + "._tmp"
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    try:
+        pairs.write.mode("overwrite").parquet(tmp_out)
+        os.rename(tmp_out, pairs_path)
+    except BaseException:
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        raise
+    finally:
+        spark.stop()
     return pairs_path
 
 
@@ -138,13 +181,8 @@ def run_scoring_phase(spark, pairs_path: str, n_cpus: int,
     from ehdc_llpg_address_matching_spark.operators import decision as D
     from ehdc_llpg_address_matching_spark.operators import scoring as S
 
-    need = ["addr_id", "uprn", "methods", "d_core", "g_core", "d_street",
-            "g_street", "d_tokens", "g_tokens", "d_vague", "house_match",
-            "house_exact", "house_conflict", "g_source_type",
-            "locality_sim", "phonetic_hit", "spatial_boost", "pc_match",
-            "live", "d_pc", "g_pc", "method_conf"]
-    pairs = (S.prefilter_pairs(spark.read.parquet(pairs_path))
-             .select(*need).repartition(n_cpus * 4).cache())
+    pairs = (spark.read.parquet(pairs_path)
+             .repartition(n_cpus * 4).cache())
     n_pairs = pairs.count()
 
     def build():
@@ -172,90 +210,119 @@ def run_scoring_phase(spark, pairs_path: str, n_cpus: int,
             "udf_pairs_per_sec": round(n_pairs / best_udf, 1)}
 
 
+def run_scaling() -> dict:
+    # size-keyed path: a cached corpus/pair table from a different
+    # BENCH_SCALE_DOCS/GAZ setting can never be silently reused
+    pairs_path = _materialize_pairs(
+        f"/tmp/bench_scale_{SCALE_DOCS}_{SCALE_GAZ}")
+    # N vs 4N "executors", in-sandbox proxy: local[N] vs local[4N]
+    # task slots with 4N <= physical cores / 2, so each slot keeps
+    # its share of the single box's memory system — the way 4N real
+    # executors on 4N machines would. (At local[32] on this 32-core
+    # box the shared L3/DRAM saturates and efficiency reflects the
+    # hardware, not the engine.)
+    n_small = max(CPUS // 8, 2)
+    n_large = n_small * 4
+    runs = {}
+    for n_cpu in (n_small, n_large):
+        time.sleep(10)  # let the previous JVM's workers actually exit
+        sp = _make_spark(n_cpu, f"bench-scale-{n_cpu}")
+        try:
+            runs[n_cpu] = run_scoring_phase(sp, pairs_path, n_cpu)
+        finally:
+            sp.stop()
+    t_n = runs[n_small]["pairs_per_sec"]
+    t_4n = runs[n_large]["pairs_per_sec"]
+    u_n = runs[n_small]["udf_pairs_per_sec"]
+    u_4n = runs[n_large]["udf_pairs_per_sec"]
+    return {
+        "job": "pair-scoring phase (Arrow UDF + score + decision)",
+        "pairs": runs[n_large]["pairs"],
+        "n_small": n_small, "n_large": n_large,
+        "pairs_per_sec_small": t_n, "pairs_per_sec_large": t_4n,
+        "wall_small": runs[n_small]["wall_sec"],
+        "wall_large": runs[n_large]["wall_sec"],
+        "speedup": round(t_4n / t_n, 2) if t_n else None,
+        "efficiency": round(t_4n / (t_n * 4.0), 3) if t_n else None,
+        "udf_pairs_per_sec_small": u_n,
+        "udf_pairs_per_sec_large": u_4n,
+        "udf_efficiency": round(u_4n / (u_n * 4.0), 3) if u_n else None,
+    }
+
+
 def main():
     import __spark_entry__ as entrymod
 
     results: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
+    total = 0.0
+    linkage = None
 
-    # scaling FIRST, on a quiet box: the small/large throughput ratio is
-    # noise-sensitive, and running it after the 32-thread headline
-    # session skewed it by up to 25% between identical binaries
+    # Headline + linkage first: they are the proven sections, and the
+    # round-2 bench lost ALL numbers when the (then-first) scaling
+    # materialize crashed. Scaling runs last, wrapped.
+    spark = _make_spark(CPUS, "bench")
+    try:
+        qs = entrymod.queries()
+        # warm the JVM/Arrow path once (excluded from timings)
+        qs["a1_run_stats"](spark, SF_DIR).collect()
+
+        for name in BENCH_QUERIES:
+            try:
+                t0 = time.time()
+                df = qs[name](spark, SF_DIR)
+                n = df.count()
+                dt = time.time() - t0
+                results[name] = round(dt, 3)
+                rows[name] = n  # candidate/row counts: regression canary
+                total += dt
+            except Exception:
+                errors[name] = traceback.format_exc(limit=3)
+
+        try:
+            tmp = f"/tmp/bench_corpus_{LINKAGE_DOCS}_{LINKAGE_GAZ}"
+            if not os.path.exists(os.path.join(tmp, "_CORPUS_OK")):
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.makedirs(tmp, exist_ok=True)
+                _synth_corpus(tmp)
+                open(os.path.join(tmp, "_CORPUS_OK"), "w").close()
+            docs_path = os.path.join(tmp, "documents.parquet")
+            gaz_path = os.path.join(tmp, "gazetteer.parquet")
+            linkage = run_linkage(spark, docs_path, gaz_path)
+            results["linkage_pipeline"] = linkage["wall_sec"]
+            total += linkage["wall_sec"]
+        except Exception:
+            errors["linkage_pipeline"] = traceback.format_exc(limit=3)
+    finally:
+        spark.stop()
+
     scaling = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        pairs_path = _materialize_pairs("/tmp/bench_scale")
-        # N vs 4N "executors", in-sandbox proxy: local[N] vs local[4N]
-        # task slots with 4N <= physical cores / 2, so each slot keeps
-        # its share of the single box's memory system — the way 4N real
-        # executors on 4N machines would. (At local[32] on this 32-core
-        # box the shared L3/DRAM saturates and efficiency reflects the
-        # hardware, not the engine.)
-        n_small = max(CPUS // 8, 2)
-        n_large = n_small * 4
-        runs = {}
-        for n_cpu in (n_small, n_large):
-            time.sleep(10)  # let the previous JVM's workers actually exit
-            sp = _make_spark(n_cpu, f"bench-scale-{n_cpu}")
-            runs[n_cpu] = run_scoring_phase(sp, pairs_path, n_cpu)
-            sp.stop()
-        t_n = runs[n_small]["pairs_per_sec"]
-        t_4n = runs[n_large]["pairs_per_sec"]
-        u_n = runs[n_small]["udf_pairs_per_sec"]
-        u_4n = runs[n_large]["udf_pairs_per_sec"]
-        scaling = {
-            "job": "pair-scoring phase (Arrow UDF + score + decision)",
-            "pairs": runs[n_large]["pairs"],
-            "n_small": n_small, "n_large": n_large,
-            "pairs_per_sec_small": t_n, "pairs_per_sec_large": t_4n,
-            "wall_small": runs[n_small]["wall_sec"],
-            "wall_large": runs[n_large]["wall_sec"],
-            "speedup": round(t_4n / t_n, 2) if t_n else None,
-            "efficiency": round(t_4n / (t_n * 4.0), 3) if t_n else None,
-            "udf_pairs_per_sec_small": u_n,
-            "udf_pairs_per_sec_large": u_4n,
-            "udf_efficiency": round(u_4n / (u_n * 4.0), 3) if u_n else None,
-        }
-        time.sleep(5)
-
-    spark = _make_spark(CPUS, "bench")
-    qs = entrymod.queries()
-    # warm the JVM/Arrow path once (excluded from timings)
-    qs["a1_run_stats"](spark, SF_DIR).collect()
-
-    total = 0.0
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        dt = time.time() - t0
-        results[name] = round(dt, 3)
-        total += dt
-
-    tmp = "/tmp/bench_corpus"
-    if not os.path.exists(os.path.join(tmp, "documents.parquet")):
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
-        _synth_corpus(tmp)
-    docs_path = os.path.join(tmp, "documents.parquet")
-    gaz_path = os.path.join(tmp, "gazetteer.parquet")
-
-    linkage = run_linkage(spark, docs_path, gaz_path)
-    results["linkage_pipeline"] = linkage["wall_sec"]
-    total += linkage["wall_sec"]
-    spark.stop()
-
+        try:
+            time.sleep(5)  # quiesce after the 32-thread headline session
+            scaling = run_scaling()
+        except Exception:
+            errors["scaling"] = traceback.format_exc(limit=3)
 
     out = {
         "metric": "headline queries + linkage pipeline wall-clock",
         "value": round(total, 2),
         "unit": "sec",
         "queries": results,
+        "rows": rows,
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
-        "linkage": linkage,
     }
+    if linkage:
+        out["linkage"] = linkage
     if scaling:
         out["scaling"] = scaling
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
     main()
+
+

@@ -120,6 +120,65 @@ def legacy_uprn_matches(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
                     F.lit(1.0).alias("score")))
 
 
+def _missing_legacy_uprns(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
+    """Documents whose cleaned legacy UPRN is plausibly valid (6-12
+    digits — production UPRNs are 9-12; the lower bound guards against
+    digit fragments surviving clean_uprn_series) but absent from the
+    gazetteer. Anti-join on uprn; the gazetteer side is the distinct
+    UPRN projection, so at 10^8 gazetteer rows this is one narrow
+    shuffled anti-join Spark can also turn into a broadcast under AQE."""
+    gaz_uprns = gazp.filter(F.col("source_type") == "original") \
+                    .select("uprn").distinct()
+    return (docs_norm
+            .filter(F.col("uprn_clean").isNotNull()
+                    & F.length("uprn_clean").between(6, 12))
+            .select("doc_id", "raw_address",
+                    F.col("uprn_clean").alias("uprn"))
+            .join(gaz_uprns, "uprn", "left_anti"))
+
+
+def historic_uprn_records(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
+    """Bulk historic-UPRN creation — the reference's single largest
+    correction bucket (5,119 of 10,015 production corrections,
+    ADDRESS_MATCHING_PROCESS.md:239-249): a legacy UPRN that is valid
+    but not in the LLPG becomes a NEW gazetteer record flagged
+    is_historic, carrying the document's address (reference:
+    internal/matcher/engine_components_fixed.go:73-92,765-790, bulk
+    path cmd/bulk-historic-uprns/main.go:80-104, schema
+    migrations/029_add_historic_uprn_support.sql:8-13).
+
+    One row per missing UPRN; the representative full_address is the
+    most common raw_address for that UPRN (the bulk tool's ORDER BY
+    document_count DESC), ties broken lexicographically for
+    determinism. Output is appendable to the raw gazetteer table
+    (Iceberg append at scale)."""
+    per_addr = (_missing_legacy_uprns(docs_norm, gazp)
+                .groupBy("uprn", "raw_address")
+                .agg(F.count("*").alias("n_docs"),
+                     F.min("doc_id").alias("sample_doc")))
+    return (per_addr.groupBy("uprn")
+            .agg(F.max_by(F.struct("raw_address", "sample_doc"),
+                          F.struct("n_docs", "raw_address")).alias("_r"),
+                 F.sum("n_docs").alias("n_source_docs"))
+            .select("uprn",
+                    F.col("_r.raw_address").alias("full_address"),
+                    F.lit(True).alias("is_historic"),
+                    F.col("_r.sample_doc").alias("source_document_id"),
+                    "n_source_docs"))
+
+
+def historic_uprn_matches(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
+    """Doc-level direct matches for the historic path: every document
+    whose legacy UPRN triggered historic creation auto-accepts against
+    that UPRN at confidence 1.0 (reference decision 'auto_accept',
+    engine_components_fixed.go:76-90). Runs BEFORE fuzzy precedence-
+    wise — the pipeline's deterministic-beats-fuzzy rule applies."""
+    return (_missing_legacy_uprns(docs_norm, gazp)
+            .select("doc_id", "uprn",
+                    F.lit("historic_uprn").alias("method"),
+                    F.lit(1.0).alias("score")))
+
+
 def cand_exact_canonical(uaddr: DataFrame, gazp: DataFrame) -> DataFrame:
     """J2: equi-join on the descriptor-stripped canonical string."""
     g = gazp.select(F.col("addr_core").alias("g_core"), "uprn")
@@ -302,12 +361,31 @@ def _compass_expand(col):
     return out
 
 
+def gaz_hot_tokens(gazp: DataFrame, token_df_cap: int) -> DataFrame:
+    """Tokens whose gazetteer document-frequency exceeds the cap.
+    STOP_TOKENS drops THE/OF/AND but NOT street suffixes: at a 10^8-row
+    gazetteer a bare ROAD/LANE token joins every document against
+    millions of rows before any >=2-shared-tokens aggregation can
+    prune. The hot set is tiny (a handful of suffixes/localities), so
+    both join sides drop it with a broadcast anti-join — a map-side
+    filter, no extra shuffle. With the cap, token-blocked join output
+    is bounded by sum_over_rare_tokens df_docs(t) * df_gaz(t) with
+    df_gaz(t) <= cap — linear in the doc side, never quadratic."""
+    return (gazp.select(F.explode(F.array_distinct("tokens")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > token_df_cap)
+            .select("tok"))
+
+
 def cand_rule_rewrite(uaddr: DataFrame, gazp: DataFrame,
-                      min_sim: float = 0.70, top_k: int = 5) -> DataFrame:
+                      min_sim: float = 0.70, top_k: int = 5,
+                      token_df_cap: int = 10000) -> DataFrame:
     """J7 full rule matcher: first-matching-rule rewrite (single
     when-chain projection — no per-rule pass over the corpus), token
-    equi-join blocking (>=2 shared tokens), trigram sim >= min_sim,
-    top-k per address, per-rule confidence +-adjusted by similarity.
+    equi-join blocking (>=2 shared RARE tokens — tokens above
+    token_df_cap gazetteer df are dropped from the join key on both
+    sides, see gaz_hot_tokens), trigram sim >= min_sim, top-k per
+    address, per-rule confidence +-adjusted by similarity.
     Returns (addr_id, uprn, method, method_conf)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
@@ -339,9 +417,12 @@ def cand_rule_rewrite(uaddr: DataFrame, gazp: DataFrame,
     toks = F.array_distinct(F.filter(
         F.split("rw", " "),
         lambda t: (F.length(t) >= 2) & ~t.isin(*STOP_TOKENS)))
-    rw_tok = rw.withColumn("tok", F.explode(toks))
-    g_tok = gazp.select("uprn", F.col("addr_core").alias("g_core"),
-                        F.explode(F.array_distinct("tokens")).alias("tok"))
+    hot = gaz_hot_tokens(gazp, token_df_cap)
+    rw_tok = (rw.withColumn("tok", F.explode(toks))
+              .join(F.broadcast(hot), "tok", "left_anti"))
+    g_tok = (gazp.select("uprn", F.col("addr_core").alias("g_core"),
+                         F.explode(F.array_distinct("tokens")).alias("tok"))
+             .join(F.broadcast(hot), "tok", "left_anti"))
     cand = (rw_tok.join(g_tok, "tok")
             .groupBy("addr_id", "rule", "base_conf", "rw", "uprn", "g_core")
             .agg(F.count("*").alias("_n_common"))

@@ -24,6 +24,11 @@ DECISION_COLS = [
     "addr_id", "uprn", "methods", "score", "validator_ok", "d_vague",
     "house_match", "house_exact", "house_conflict", "pc_match",
     "g_source_type", "method_conf",
+    # d_core/g_core ride the decision shuffles so the audit table can
+    # attach canonical strings WITHOUT re-executing the candidate
+    # attach join (two narrow strings on <=top-k survivors vs a whole
+    # repeated uaddr x gazp join at 10^11 pairs)
+    "d_core", "g_core",
 ]
 
 
@@ -119,7 +124,12 @@ def decide(pairs: DataFrame, t: Thresholds = Thresholds(),
         # rewrite (>= 0.85 after sim adjustment) or a top cascade level
         # accepts on its own authority (reference rule_matcher.go:209-216,
         # hierarchical_matcher.go:158-165) — still gated on no house
-        # conflict (D4) and a clear winner margin
+        # conflict (D4) and a clear winner margin. Deliberately NOT
+        # gated on validator_ok: the reference's rule matcher accepts
+        # purely on rule confidence ("High confidence rule - auto
+        # accept", rule_matcher.go:209-211) with no strict-validator
+        # pass; our extra house-conflict + margin gates are already
+        # stricter than the reference here.
         .when((F.coalesce(F.col("method_conf"), F.lit(0.0)) >= t.high)
               & ~F.col("house_conflict")
               & (F.col("margin") >= t.winner_margin), "accept")

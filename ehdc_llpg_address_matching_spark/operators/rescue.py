@@ -23,9 +23,13 @@ from ..functions.similarity import trigram_sim_batch
 
 def group_fuzzy_rescue(docs_n: DataFrame, doc_matches: DataFrame,
                        gazp: DataFrame, group_col: str = "group_key",
-                       min_sim: float = 0.5) -> DataFrame:
+                       min_sim: float = 0.5,
+                       token_df_cap: int = 10000) -> DataFrame:
     """(doc_id, uprn, confidence, method='group_rescue') for members of
-    previously-unmatched groups."""
+    previously-unmatched groups. Tokens above token_df_cap gazetteer
+    df are dropped from the join key on both sides (candidates.
+    gaz_hot_tokens) so one hot suffix token can't make the rescue join
+    quadratic at a 10^8-row gazetteer."""
     from pyspark.sql.functions import pandas_udf
 
     members = docs_n.filter(F.col(group_col).isNotNull()) \
@@ -47,10 +51,14 @@ def group_fuzzy_rescue(docs_n: DataFrame, doc_matches: DataFrame,
     # size(array_intersect) >= 2 theta-join, which Spark could only plan
     # as a BroadcastNestedLoopJoin (groups x full gazetteer pair
     # evaluations — a cartesian scale-killer at 10^8 gazetteer rows).
-    rep_tok = rep.select(group_col, "addr_core",
+    from .candidates import gaz_hot_tokens
+    hot = gaz_hot_tokens(gazp, token_df_cap)
+    rep_tok = (rep.select(group_col, "addr_core",
+                          F.explode(F.array_distinct("tokens")).alias("tok"))
+               .join(F.broadcast(hot), "tok", "left_anti"))
+    g_tok = (gazp.select("uprn", F.col("addr_core").alias("g_core"),
                          F.explode(F.array_distinct("tokens")).alias("tok"))
-    g_tok = gazp.select("uprn", F.col("addr_core").alias("g_core"),
-                        F.explode(F.array_distinct("tokens")).alias("tok"))
+             .join(F.broadcast(hot), "tok", "left_anti"))
     cand = (rep_tok.join(g_tok, "tok")
             .groupBy(group_col, "addr_core", "uprn", "g_core")
             .agg(F.count("*").alias("_n_common"))

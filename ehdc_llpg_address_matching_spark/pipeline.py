@@ -131,15 +131,13 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     pairs = S.with_score(pairs)
 
     # --- phase: decision on NARROW columns (the wide pair payload must
-    #     not ride through the two window shuffles), then join the
-    #     canonical strings back onto the small top-k survivors for the
-    #     audit-only Levenshtein
+    #     not ride through the two window shuffles). d_core/g_core ride
+    #     along in DECISION_COLS so the audit-only Levenshtein needs no
+    #     second attach join (round-2 re-executed the uaddr x gazp join
+    #     just to fetch the strings).
     best = D.keep_best_per_uprn(D.narrow_for_decision(pairs))
     decided_narrow = D.decide(best, cfg.thresholds, top_k=cfg.top_k_audit)
-    pair_strs = pairs.select("addr_id", "uprn", "d_core", "g_core") \
-        .dropDuplicates(["addr_id", "uprn"])
-    decided = S.with_audit_levenshtein(
-        decided_narrow.join(pair_strs, ["addr_id", "uprn"], "left")) \
+    decided = S.with_audit_levenshtein(decided_narrow) \
         .localCheckpoint(eager=True)
     acc = D.accepted(decided)
 
@@ -154,14 +152,26 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
                  .select("doc_id", "uprn", "method", "score", "confidence"))
     legacy = C.legacy_uprn_matches(docs_n, gazp) \
         .withColumn("confidence", F.lit(1.0))
-    # legacy wins where both exist (reference precedence:
-    # ADDRESS_MATCHING_PROCESS.md:66-72 — deterministic beats fuzzy)
+    # historic-UPRN creation: valid legacy UPRNs ABSENT from the LLPG
+    # spawn historic gazetteer records and auto-accept (the reference's
+    # largest correction bucket — cmd/bulk-historic-uprns). Disjoint
+    # from `legacy` by construction (in-gaz vs not-in-gaz).
+    historic = C.historic_uprn_matches(docs_n, gazp) \
+        .withColumn("confidence", F.lit(1.0))
+    # legacy/historic win where both exist (reference precedence:
+    # ADDRESS_MATCHING_PROCESS.md:66-72 — deterministic beats fuzzy).
+    # Explicit priority column, NOT confidence ordering: a perfect
+    # fuzzy match also reaches confidence 1.0 and would then beat the
+    # UPRN-validated match on the uprn tie-break.
     from pyspark.sql import Window
-    both = legacy.unionByName(fuzzy_doc)
+    both = (legacy.withColumn("_prio", F.lit(0))
+            .unionByName(historic.withColumn("_prio", F.lit(0)))
+            .unionByName(fuzzy_doc.withColumn("_prio", F.lit(1))))
     wd = Window.partitionBy("doc_id").orderBy(
-        F.desc("confidence"), F.desc("score"), F.asc("uprn"))
+        F.asc("_prio"), F.desc("confidence"), F.desc("score"),
+        F.asc("uprn"))
     doc_matches = (both.withColumn("_rn", F.row_number().over(wd))
-                   .filter(F.col("_rn") == 1).drop("_rn")) \
+                   .filter(F.col("_rn") == 1).drop("_rn", "_prio")) \
         .localCheckpoint(eager=True)  # feeds CC + consensus + rescue + output
 
     # --- phase: connected components + consensus corrections + G2 rescue
@@ -198,6 +208,10 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         "docs_normalized": docs_n,
         "unique_addresses": uaddr,
         "gazetteer_prepared": gazp,
+        # appendable historic gazetteer rows (migrations/029 analog):
+        # at scale this is the Iceberg append that pre-populates missing
+        # UPRNs before the next run, per cmd/bulk-historic-uprns
+        "historic_gazetteer": C.historic_uprn_records(docs_n, gazp),
         "candidates": cands,
         "audit_candidates": decided,
         "doc_matches": doc_matches,

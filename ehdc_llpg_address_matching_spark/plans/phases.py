@@ -123,10 +123,8 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         pairs = S.with_score(S.with_pair_features(pairs))
         best = D.keep_best_per_uprn(D.narrow_for_decision(pairs))
         dec = D.decide(best, cfg.thresholds, cfg.top_k_audit)
-        strs = pairs.select("addr_id", "uprn", "d_core", "g_core") \
-            .dropDuplicates(["addr_id", "uprn"])
-        return S.with_audit_levenshtein(dec.join(strs, ["addr_id", "uprn"],
-                                                 "left"))
+        # d_core/g_core ride DECISION_COLS — no second attach join
+        return S.with_audit_levenshtein(dec)
 
     p4 = phase("p4_scoring", _p4, {"audit_candidates": lambda d: d})
     decided = p4["audit_candidates"]

@@ -98,6 +98,9 @@ class SynthConfig:
     hot_sector_frac: float = 0.20   # share of gazetteer in ONE postcode sector (skew)
     media_span_frac: float = 0.5    # docs that carry interleaved media spans
     group_size_mean: int = 4        # docs per planning-group (cluster layer)
+    historic_frac: float = 0.03     # groups whose legacy UPRN is valid but absent
+    #                                 from the gazetteer (historic-UPRN creation,
+    #                                 reference cmd/bulk-historic-uprns)
     dirt_weights: dict = field(default_factory=lambda: {
         "exact": 0.15, "abbrev": 0.25, "typo": 0.20, "postcode_drop": 0.10,
         "postcode_unspaced": 0.08, "descriptor": 0.08, "uprn_suffix": 0.10,
@@ -295,6 +298,16 @@ def build_documents(cfg: SynthConfig, gaz: pd.DataFrame) -> tuple[pd.DataFrame, 
         group_key = f"APP/{2000 + group_no % 26}/{group_no:05d}"
         # one gazetteer target per group (consensus semantics)
         grow = gaz.iloc[rng.randrange(len(gaz))]
+        # historic group: the source system stamps a legacy UPRN that is
+        # valid in format but absent from the LLPG on every doc of the
+        # application — the engine must CREATE a historic gazetteer
+        # record and match at confidence 1.0 (reference
+        # cmd/bulk-historic-uprns/main.go:80-104, migrations/029).
+        # Group-level so consensus voting and the rescue gold stay
+        # consistent (every matched member votes for the same UPRN).
+        historic = rng.random() < cfg.historic_frac
+        hist_uprn = str(500000000 + int(grow.uprn) % 100000000) \
+            if historic else None
         group_gold_rows = []
         group_matchable = 0
         for _ in range(gsize):
@@ -308,6 +321,11 @@ def build_documents(cfg: SynthConfig, gaz: pd.DataFrame) -> tuple[pd.DataFrame, 
                 profile = rng.choices(profiles, weights)[0]
                 raw, raw_uprn = _dirty_address(rng, grow, profile)
                 true_uprn = grow.uprn
+                if historic:
+                    raw_uprn = hist_uprn + (".00" if rng.random() < 0.3
+                                            else "")
+                    true_uprn = hist_uprn
+                    profile = "historic_uprn"
                 if rng.random() < 0.5:
                     easting = grow.easting + rng.uniform(-25, 25)
                     northing = grow.northing + rng.uniform(-25, 25)
@@ -330,7 +348,9 @@ def build_documents(cfg: SynthConfig, gaz: pd.DataFrame) -> tuple[pd.DataFrame, 
         # members is EXPECTED to be corrected to the group winner
         for row in group_gold_rows:
             if row["uprn"] is None and group_matchable >= 2:
-                row["uprn"] = grow.uprn
+                # in a historic group the consensus vote winner is the
+                # historic UPRN (every matched member carries it)
+                row["uprn"] = hist_uprn if historic else grow.uprn
                 row["difficulty"] = "consensus_rescue"
         gold.extend(group_gold_rows)
     return pd.DataFrame(docs), pd.DataFrame(gold)

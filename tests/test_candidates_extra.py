@@ -201,3 +201,55 @@ def test_method_conf_accept_rung(spark):
     top = out[out["rank"] == 1].iloc[0]
     assert top["decision"] == "accept"
     assert top["confidence"] == pytest.approx(0.95)
+
+
+# ------------------------------------------------- hot-token df cap
+
+def _toy_gaz(spark, n=30):
+    rows = [dict(uprn=str(100 + i),
+                 addr_core=f"NAME{i} HOUSE{i} STREET",
+                 tokens=[f"NAME{i}", f"HOUSE{i}", "STREET"])
+            for i in range(n)]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_gaz_hot_tokens_cap(spark):
+    from ehdc_llpg_address_matching_spark.operators.candidates import \
+        gaz_hot_tokens
+    hot = {r["tok"] for r in gaz_hot_tokens(_toy_gaz(spark), 5).collect()}
+    assert hot == {"STREET"}
+    assert gaz_hot_tokens(_toy_gaz(spark), 10000).count() == 0
+
+
+def test_rule_rewrite_hot_token_capped_same_output(spark):
+    """Every gazetteer row shares the hot suffix token; dropping it
+    from the join key must not change the rule-matcher output (pairs
+    still connect through >=2 rare tokens) while bounding the join."""
+    from ehdc_llpg_address_matching_spark.operators.candidates import \
+        cand_rule_rewrite
+    gaz = _toy_gaz(spark)
+    docs = spark.createDataFrame(pd.DataFrame([
+        # rule hit, two rare shared tokens with uprn 103
+        dict(addr_id="a1", addr_can="LAND AT NAME3 HOUSE3 STREET"),
+        # rule hit, shares ONLY the hot token -> no candidate either way
+        dict(addr_id="a2", addr_can="FORMER SITE OF UNKNOWN STREET"),
+    ]))
+    capped = cand_rule_rewrite(docs, gaz, token_df_cap=5).toPandas()
+    uncapped = cand_rule_rewrite(docs, gaz, token_df_cap=10**9).toPandas()
+    key = ["addr_id", "uprn", "method", "method_conf"]
+    assert sorted(map(tuple, capped[key].values.tolist())) == \
+        sorted(map(tuple, uncapped[key].values.tolist()))
+    assert set(capped[capped.addr_id == "a1"].uprn) == {"103"}
+    assert (capped.addr_id != "a2").all()
+
+
+def test_rule_rewrite_plan_has_hot_token_anti_join(spark):
+    """The hot-token drop must be a broadcast anti-join (map-side
+    filter) applied to BOTH explode sides before the token equi-join."""
+    from ehdc_llpg_address_matching_spark.operators.candidates import \
+        cand_rule_rewrite
+    docs = spark.createDataFrame(pd.DataFrame(
+        [dict(addr_id="a1", addr_can="LAND AT NAME3 HOUSE3 STREET")]))
+    plan = cand_rule_rewrite(docs, _toy_gaz(spark))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") >= 2

@@ -64,3 +64,54 @@ def test_metrics_table_shape(pipeline_out):
     rows = {r["decision"] for r in out["metrics"].collect()}
     assert rows <= {"auto_accept", "accept", "review", "reject"}
     assert "auto_accept" in rows
+
+
+def test_historic_uprn_creation(spark):
+    """A valid legacy UPRN absent from the LLPG must spawn a historic
+    gazetteer record and auto-accept the docs that carry it (reference
+    cmd/bulk-historic-uprns, migrations/029 — its largest correction
+    bucket)."""
+    cfg = SynthConfig(seed=7, n_gazetteer=150, n_docs=250,
+                      historic_frac=0.30)
+    gaz, docs, gold = synth_tables(cfg)
+    hist_gold = gold[gold.difficulty == "historic_uprn"]
+    assert len(hist_gold) > 0, "synth produced no historic docs"
+    out = run_pipeline(spark, spark.createDataFrame(docs),
+                       spark.createDataFrame(gaz),
+                       PipelineConfig(enable_vector=False))
+    m = out["matches"].toPandas().set_index("doc_id")
+    got = m.loc[hist_gold.doc_id]
+    # every historic doc matched its absent-but-valid UPRN at conf 1.0
+    assert (got.uprn.to_numpy() == hist_gold.set_index("doc_id")
+            .uprn.to_numpy()).all()
+    assert (got.method == "historic_uprn").all()
+    assert (got.confidence == 1.0).all()
+    # the created records are appendable gazetteer rows: one per
+    # missing UPRN, flagged is_historic, disjoint from existing UPRNs
+    hg = out["historic_gazetteer"].toPandas()
+    assert set(hg.uprn) == set(hist_gold.uprn)
+    assert hg.is_historic.all()
+    assert hg.uprn.is_unique
+    assert not set(hg.uprn) & set(gaz.uprn)
+    assert hg.full_address.notna().all()
+
+
+def test_attach_join_runs_once(spark, monkeypatch):
+    """Round-2 re-executed the candidate attach join just to fetch
+    d_core/g_core for the audit table; the strings now ride
+    DECISION_COLS. Guard: attach_pair_attrs is constructed exactly
+    once per pipeline run."""
+    from ehdc_llpg_address_matching_spark.operators import scoring as S
+    calls = []
+    orig = S.attach_pair_attrs
+    monkeypatch.setattr(S, "attach_pair_attrs",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    cfg = SynthConfig(seed=5, n_gazetteer=80, n_docs=100)
+    gaz, docs, _ = synth_tables(cfg)
+    out = run_pipeline(spark, spark.createDataFrame(docs),
+                       spark.createDataFrame(gaz),
+                       PipelineConfig(enable_vector=False))
+    out["audit_candidates"].count()
+    assert len(calls) == 1
+    # and the audit table still carries the canonical strings + lev
+    assert {"d_core", "g_core", "lev"} <= set(out["audit_candidates"].columns)
