@@ -443,9 +443,28 @@ def q_simhash_pairs(spark, sf):
 
 
 def q_lsh_ann_topk(spark, sf):
-    from ehdc_llpg_address_matching_spark.operators.ann import lsh_topk
+    """LSH ANN with an IN-ENTRY recall audit against the (separately
+    oracle-checked) brute-force top-k: each output row carries the
+    query's recall@k, so the driver's rows-only record pins the recall
+    values, not just a row count. The pytest gate
+    (tests/test_dedup_ann_text.py) asserts mean recall >= 0.9."""
+    from ehdc_llpg_address_matching_spark.operators.ann import (
+        brute_force_topk, lsh_topk)
     emb = _t(spark, sf, "embeddings")
-    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=3, dim=64)
+    q = emb.filter(F.col("vec_id") < 20)
+    lsh = lsh_topk(q, emb, k=3, dim=64) \
+        .select("query_id", "neighbor_id")
+    bf = brute_force_topk(q, emb, k=3) \
+        .select("query_id", F.col("neighbor_id").alias("bf_neighbor"))
+    hits = (bf.join(lsh, (bf.query_id == lsh.query_id) &
+                    (bf.bf_neighbor == lsh.neighbor_id), "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("n_hit")))
+    return (bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce(F.col("n_hit"), F.lit(0)) /
+                            F.col("n_true"), 4).alias("recall_at_k"))
+            .orderBy("query_id"))
 
 
 def q_ivf_ann_topk(spark, sf):
@@ -496,20 +515,121 @@ def q_linkage_pipeline(spark, sf):
 
 
 def q_media_metadata(spark, sf):
-    """Multimodal plumbing: metadata + resize plan over media refs
-    derived deterministically from the documents table."""
+    """Multimodal metadata: REAL pure-python JPEG/PNG header parsing
+    (parse_image_header — marker scan / IHDR chunk, no image libs)
+    over deterministic fixture bytes, plus the resize plan. The
+    DuckDB oracle re-derives the embedded dimensions from the md5
+    generation rule, so a parser that mis-reads any header fails the
+    hash match."""
     from ehdc_llpg_address_matching_spark.operators.media import (
-        resize_spec, with_media_metadata)
+        resize_spec, with_media_metadata, with_synth_image_bytes)
     refs = (_t(spark, sf, "documents")
             .select("doc_id",
                     F.lit("image").alias("kind"),
                     F.concat(F.lit("media://img/"), F.col("doc_id"),
                              F.lit(".jpg")).alias("media_ref"),
                     F.lit(0).alias("offset"))
-            .limit(100))
-    return resize_spec(with_media_metadata(refs)) \
-        .select("doc_id", "width", "height", "format",
-                "resized_w", "resized_h")
+            .orderBy("doc_id").limit(100))
+    meta = with_media_metadata(with_synth_image_bytes(refs),
+                               content_col="content")
+    return (resize_spec(meta)
+            .select("doc_id", "width", "height", "n_channels", "format",
+                    "resized_w", "resized_h")
+            .withColumn("resized_w", F.col("resized_w").cast("int"))
+            .withColumn("resized_h", F.col("resized_h").cast("int")))
+
+
+# ------------------------------------------- engine-path oracle fixture
+
+_ENGINE_FIX = "/tmp/spark_graft_engine_oracle"
+_engine_fix_built = False
+
+
+def _engine_fixture(spark) -> str:
+    """Deterministic spans corpus, ENGINE-prepared (prepare_gazetteer /
+    normalize_documents / prepare_unique_addresses) and persisted to
+    parquet, so the DuckDB oracle reads EXACTLY the inputs the engine
+    operators consume. The q_*_engine entries below then exercise
+    operators/candidates.py itself — not a TPC-H-shaped analog — and
+    their oracles mirror the operator logic in SQL over the same
+    files. Rebuilt (overwrite, fixed seed) once per process."""
+    global _engine_fix_built
+    import os
+    if _engine_fix_built and os.path.exists(_ENGINE_FIX):
+        return _ENGINE_FIX
+    from ehdc_llpg_address_matching_spark.operators import candidates as C
+    from ehdc_llpg_address_matching_spark.operators.blocking import \
+        with_blocking_keys
+    from ehdc_llpg_address_matching_spark.pipeline import normalize_documents
+    from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
+                                                        synth_spark_tables)
+
+    gaz_df, docs_df, _ = synth_spark_tables(
+        spark, SynthConfig(seed=23, n_gazetteer=150, n_docs=250,
+                           historic_frac=0.12))
+    gazp = C.prepare_gazetteer(gaz_df)
+    docs_n = normalize_documents(docs_df, None)
+    uaddr = with_blocking_keys(C.prepare_unique_addresses(docs_n))
+
+    def w(df, name):
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(f"{_ENGINE_FIX}/{name}.parquet")
+
+    w(uaddr.select("addr_id", "postcode", "c_house", "c_street",
+                   "c_locality", "street_phonetic"), "uaddr_hier")
+    w(gazp.select("uprn", "postcode", "c_house", "c_street",
+                  "c_locality", "street_phonetic"), "gaz_hier")
+    w(uaddr.select("addr_id", "addr_can"), "uaddr_rule")
+    w(gazp.select("uprn", "addr_core", "tokens"), "gaz_rule")
+    w(docs_n.select("doc_id", "raw_address", "uprn_clean"), "docs_hist")
+    w(gazp.filter(F.col("source_type") == "original")
+      .select("uprn").distinct(), "gaz_uprns")
+    _engine_fix_built = True
+    return _ENGINE_FIX
+
+
+def q_j5_hier_engine(spark, sf):
+    """J5 ENGINE path: cand_hierarchical (5-level stop-at-first
+    cascade, residue-only levels 4-5) on the persisted engine fixture;
+    the oracle replays the cascade in SQL over the same parquet."""
+    from ehdc_llpg_address_matching_spark.operators.candidates import \
+        cand_hierarchical
+    fix = _engine_fixture(spark)
+    uaddr = spark.read.parquet(f"{fix}/uaddr_hier.parquet")
+    gazp = spark.read.parquet(f"{fix}/gaz_hier.parquet")
+    return (cand_hierarchical(uaddr, gazp)
+            .select("addr_id", "uprn", "method",
+                    F.round("method_conf", 4).alias("method_conf")))
+
+
+def q_j7_rule_engine(spark, sf):
+    """J7 ENGINE path: cand_rule_rewrite (first-match rule chain,
+    hot-token-capped token blocking, pg_trgm similarity, top-5,
+    sim-adjusted confidence). token_df_cap=20 is deliberately low so
+    the cap itself is oracle-exercised (street-suffix tokens in the
+    150-row fixture gazetteer exceed it)."""
+    from ehdc_llpg_address_matching_spark.operators.candidates import \
+        cand_rule_rewrite
+    fix = _engine_fixture(spark)
+    uaddr = spark.read.parquet(f"{fix}/uaddr_rule.parquet")
+    gazp = spark.read.parquet(f"{fix}/gaz_rule.parquet")
+    return (cand_rule_rewrite(uaddr, gazp, token_df_cap=20)
+            .select("addr_id", "uprn", "method",
+                    F.round("method_conf", 4).alias("method_conf")))
+
+
+def q_historic_uprn(spark, sf):
+    """Historic-UPRN creation ENGINE path: historic_uprn_records
+    (valid-but-absent legacy UPRNs -> appendable is_historic gazetteer
+    rows; reference cmd/bulk-historic-uprns, migrations/029)."""
+    from ehdc_llpg_address_matching_spark.operators import candidates as C
+    fix = _engine_fixture(spark)
+    docs_n = spark.read.parquet(f"{fix}/docs_hist.parquet")
+    gazp = (spark.read.parquet(f"{fix}/gaz_uprns.parquet")
+            .withColumn("source_type", F.lit("original")))
+    return (C.historic_uprn_records(docs_n, gazp)
+            .select("uprn", "full_address", "is_historic",
+                    "source_document_id", "n_source_docs"))
 
 
 # ----------------------------------------------------------------- entry
@@ -552,6 +672,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "stream_windowed_counts": q_stream_windowed_counts,
+        # engine-path entries: run operators/candidates.py itself on a
+        # persisted fixture; oracles mirror the operator logic in SQL
+        "j5_hier_engine": q_j5_hier_engine,
+        "j7_rule_engine": q_j7_rule_engine,
+        "historic_uprn": q_historic_uprn,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -565,6 +690,241 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "j5_hier_engine": r"""
+            WITH d AS (
+              SELECT addr_id,
+                     coalesce(postcode, '') AS d_pc,
+                     regexp_replace(upper(coalesce(c_house, '')),
+                                    '[^0-9A-Z]', '', 'g') AS d_h,
+                     coalesce(c_street, '') AS d_st,
+                     coalesce(c_locality, '') AS d_loc,
+                     coalesce(street_phonetic, '') AS d_phon
+              FROM read_parquet(
+                '/tmp/spark_graft_engine_oracle/uaddr_hier.parquet/*.parquet')),
+            g AS (
+              SELECT uprn,
+                     coalesce(postcode, '') AS g_pc,
+                     regexp_replace(upper(coalesce(c_house, '')),
+                                    '[^0-9A-Z]', '', 'g') AS g_h,
+                     coalesce(c_street, '') AS g_st,
+                     coalesce(c_locality, '') AS g_loc,
+                     coalesce(street_phonetic, '') AS g_phon
+              FROM read_parquet(
+                '/tmp/spark_graft_engine_oracle/gaz_hier.parquet/*.parquet')),
+            levels AS (
+              SELECT addr_id, uprn, 'postcode_house' AS level_name,
+                     CAST(0.95 AS DOUBLE) AS method_conf, 1 AS lr
+              FROM d JOIN g ON d_pc = g_pc AND d_h = g_h
+              WHERE d_pc <> '' AND d_h <> ''
+              UNION ALL
+              SELECT addr_id, uprn, 'street_house_locality',
+                     CAST(0.90 AS DOUBLE), 2
+              FROM d JOIN g ON d_st = g_st AND d_h = g_h
+              WHERE d_st <> '' AND d_h <> ''
+                AND (d_loc = '' OR g_loc = '' OR d_loc = g_loc)
+              UNION ALL
+              SELECT addr_id, uprn, 'street_locality',
+                     CAST(0.80 AS DOUBLE), 3
+              FROM d JOIN g ON d_st = g_st AND d_loc = g_loc
+              WHERE d_st <> '' AND d_loc <> ''),
+            upper_best AS (
+              SELECT addr_id, uprn, level_name, method_conf FROM (
+                SELECT *, min(lr) OVER (PARTITION BY addr_id) AS best
+                FROM levels) WHERE lr = best),
+            l4 AS (
+              SELECT d.addr_id, g.uprn,
+                     'street_phonetic' AS level_name,
+                     CAST(0.75 AS DOUBLE) AS method_conf
+              FROM d JOIN g ON d_phon = g_phon
+              WHERE d_phon <> ''
+                AND d.addr_id NOT IN (SELECT addr_id FROM upper_best)),
+            l5 AS (
+              SELECT d.addr_id, g.uprn,
+                     'locality_only' AS level_name,
+                     CAST(0.70 AS DOUBLE) AS method_conf
+              FROM d JOIN g ON d_loc = g_loc
+              WHERE d_loc <> ''
+                AND d.addr_id NOT IN (SELECT addr_id FROM upper_best)
+                AND d.addr_id NOT IN (SELECT addr_id FROM l4)),
+            allc AS (
+              SELECT DISTINCT * FROM upper_best
+              UNION ALL SELECT DISTINCT * FROM l4
+              UNION ALL SELECT DISTINCT * FROM l5)
+            SELECT addr_id, uprn, 'hier_' || level_name AS method,
+                   ROUND(method_conf, 4) AS method_conf
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY addr_id
+                         ORDER BY uprn) AS rn FROM allc)
+            WHERE rn <= 5""",
+        "j7_rule_engine": r"""
+            WITH rw0 AS (
+              SELECT addr_id, addr_can,
+                CASE
+                  WHEN regexp_matches(addr_can, 'LUCKY LITE FARM.*') THEN
+                    {r: 'lucky_lite_farm', c: CAST(0.95 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'LUCKY LITE FARM.*',
+                        'LUCKYLITE FARM CATHERINGTON LANE HORNDEAN', 'g')}
+                  WHEN regexp_matches(addr_can, 'LASHAM AIRFIELD.*') THEN
+                    {r: 'lasham_airfield', c: CAST(0.90 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'LASHAM AIRFIELD.*',
+                        'LASHAM AERODROME LASHAM', 'g')}
+                  WHEN regexp_matches(addr_can, 'FOUR MARKS') THEN
+                    {r: 'four_marks_spacing', c: CAST(0.85 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'FOUR MARKS',
+                        'FOURMARKS', 'g')}
+                  WHEN regexp_matches(addr_can, '(?:CO-OP|COOP|CO OP)') THEN
+                    {r: 'co_op_variations', c: CAST(0.80 AS DOUBLE),
+                     w: regexp_replace(addr_can, '(?:CO-OP|COOP|CO OP)',
+                        'COOPERATIVE', 'g')}
+                  WHEN regexp_matches(addr_can, 'FORMER SITE OF (.+)') THEN
+                    {r: 'former_site_prefix', c: CAST(0.75 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'FORMER SITE OF (.+)',
+                        '\1', 'g')}
+                  WHEN regexp_matches(addr_can, 'LAND AT (.+)') THEN
+                    {r: 'land_at_prefix', c: CAST(0.70 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'LAND AT (.+)', '\1', 'g')}
+                  WHEN regexp_matches(addr_can,
+                                      'REAR OF (\d+[A-Z]?\s.+)') THEN
+                    {r: 'rear_of_references', c: CAST(0.65 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'REAR OF (\d+[A-Z]?\s.+)',
+                        '\1A', 'g')}
+                  WHEN regexp_matches(addr_can, 'ADJ(?:ACENT)? TO (.+)') THEN
+                    {r: 'adjacent_to', c: CAST(0.60 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'ADJ(?:ACENT)? TO (.+)',
+                        '\1', 'g')}
+                  WHEN regexp_matches(addr_can, 'OPP(?:OSITE)? (.+)') THEN
+                    {r: 'opposite_references', c: CAST(0.60 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'OPP(?:OSITE)? (.+)',
+                        '\1', 'g')}
+                  WHEN regexp_matches(addr_can, '\b[NSEW]\b') THEN
+                    {r: 'compass_expansion', c: CAST(0.75 AS DOUBLE),
+                     w: regexp_replace(regexp_replace(regexp_replace(
+                          regexp_replace(addr_can, '\bN\b', 'NORTH', 'g'),
+                          '\bS\b', 'SOUTH', 'g'), '\bE\b', 'EAST', 'g'),
+                          '\bW\b', 'WEST', 'g')}
+                END AS r0
+              FROM read_parquet(
+                '/tmp/spark_graft_engine_oracle/uaddr_rule.parquet/*.parquet')),
+            rw AS (
+              SELECT addr_id, r0['r'] AS rule, r0['c'] AS base_conf,
+                     trim(regexp_replace(r0['w'], '\s+', ' ', 'g')) AS rw
+              FROM rw0
+              WHERE r0 IS NOT NULL
+                AND trim(regexp_replace(r0['w'], '\s+', ' ', 'g'))
+                    <> addr_can),
+            gaz AS (
+              SELECT uprn, addr_core AS g_core, tokens
+              FROM read_parquet(
+                '/tmp/spark_graft_engine_oracle/gaz_rule.parquet/*.parquet')),
+            hot AS (
+              SELECT tok FROM (
+                SELECT unnest(list_distinct(tokens)) AS tok FROM gaz)
+              GROUP BY tok HAVING COUNT(*) > 20),
+            d_tok AS (
+              SELECT addr_id, rule, base_conf, rw, unnest(tok) AS tok
+              FROM (SELECT *,
+                      list_distinct(list_filter(string_split(rw, ' '),
+                        t -> length(t) >= 2 AND NOT list_contains(
+                          ['THE','OF','AND','AT','TO','NEAR','OPPOSITE',
+                           'ADJACENT','OPP','ADJ','NR'], t))) AS tok
+                    FROM rw)
+              ),
+            d_tok_r AS (
+              SELECT * FROM d_tok
+              WHERE tok NOT IN (SELECT tok FROM hot)),
+            g_tok AS (
+              SELECT uprn, g_core, unnest(list_distinct(tokens)) AS tok
+              FROM gaz),
+            g_tok_r AS (
+              SELECT * FROM g_tok
+              WHERE tok NOT IN (SELECT tok FROM hot)),
+            cand AS (
+              SELECT addr_id, rule, base_conf, rw, uprn, g_core
+              FROM d_tok_r a JOIN g_tok_r b USING (tok)
+              GROUP BY ALL HAVING COUNT(*) >= 2),
+            strs AS (
+              SELECT rw AS s FROM cand
+              UNION SELECT g_core FROM cand),
+            grams AS (
+              SELECT s, list_distinct(flatten(list_transform(
+                       list_filter(string_split(s, ' '), w -> w <> ''),
+                       w -> list_transform(
+                         range(1, length('  ' || w || ' ') - 1),
+                         i -> substr('  ' || w || ' ',
+                                     CAST(i AS INT), 3))))) AS gset
+              FROM strs),
+            sims AS (
+              SELECT c.*,
+                CASE WHEN len(ga.gset) = 0 OR len(gb.gset) = 0 THEN 0.0
+                     ELSE len(list_intersect(ga.gset, gb.gset)) * 1.0 /
+                          (len(ga.gset) + len(gb.gset)
+                           - len(list_intersect(ga.gset, gb.gset)))
+                END AS sim
+              FROM cand c JOIN grams ga ON ga.s = c.rw
+                          JOIN grams gb ON gb.s = c.g_core)
+            SELECT addr_id, uprn, 'rule_' || rule AS method,
+                   ROUND(LEAST(CASE WHEN sim >= 0.90 THEN base_conf + 0.10
+                                    WHEN sim >= 0.80 THEN base_conf + 0.05
+                                    ELSE base_conf END, 1.0), 4)
+                     AS method_conf
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY addr_id
+                         ORDER BY sim DESC, uprn) AS rn
+                  FROM sims WHERE sim >= 0.70)
+            WHERE rn <= 5""",
+        "media_metadata": r"""
+            WITH d AS (
+              SELECT doc_id, md5('media://img/' || doc_id || '.jpg') AS m
+              FROM documents ORDER BY doc_id LIMIT 100),
+            b AS (
+              SELECT doc_id,
+                (strpos('0123456789abcdef', substr(m,1,1))-1)*16 +
+                 strpos('0123456789abcdef', substr(m,2,1))-1 AS b0,
+                (strpos('0123456789abcdef', substr(m,3,1))-1)*16 +
+                 strpos('0123456789abcdef', substr(m,4,1))-1 AS b1,
+                (strpos('0123456789abcdef', substr(m,5,1))-1)*16 +
+                 strpos('0123456789abcdef', substr(m,6,1))-1 AS b2,
+                (strpos('0123456789abcdef', substr(m,7,1))-1)*16 +
+                 strpos('0123456789abcdef', substr(m,8,1))-1 AS b3
+              FROM d),
+            meta AS (
+              SELECT doc_id,
+                     64 + b0 % 192 AS width,
+                     64 + b1 % 192 AS height,
+                     CASE WHEN b2 % 2 = 0 THEN 'jpeg'
+                          ELSE 'png' END AS format,
+                     CASE WHEN b2 % 2 = 0 THEN 3
+                          WHEN b3 % 2 = 0 THEN 3 ELSE 4 END AS n_channels
+              FROM b),
+            r AS (SELECT *, LEAST(224.0 / width, 224.0 / height) AS sc
+                  FROM meta)
+            SELECT doc_id, width, height, n_channels, format,
+                   CAST(ROUND(width * sc) AS INT) AS resized_w,
+                   CAST(ROUND(height * sc) AS INT) AS resized_h
+            FROM r""",
+        "historic_uprn": r"""
+            WITH d AS (
+              SELECT doc_id, raw_address, uprn_clean AS uprn
+              FROM read_parquet(
+                '/tmp/spark_graft_engine_oracle/docs_hist.parquet/*.parquet')
+              WHERE uprn_clean IS NOT NULL
+                AND length(uprn_clean) BETWEEN 6 AND 12),
+            miss AS (
+              SELECT d.* FROM d
+              WHERE NOT EXISTS (SELECT 1 FROM read_parquet(
+                '/tmp/spark_graft_engine_oracle/gaz_uprns.parquet/*.parquet') g
+                WHERE g.uprn = d.uprn)),
+            pa AS (
+              SELECT uprn, raw_address, COUNT(*) AS n_docs,
+                     MIN(doc_id) AS sample_doc
+              FROM miss GROUP BY 1, 2),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY uprn
+                       ORDER BY n_docs DESC, raw_address DESC) AS rn,
+                     SUM(n_docs) OVER (PARTITION BY uprn) AS total
+              FROM pa)
+            SELECT uprn, raw_address AS full_address,
+                   TRUE AS is_historic, sample_doc AS source_document_id,
+                   CAST(total AS BIGINT) AS n_source_docs
+            FROM r WHERE rn = 1""",
         "a1_run_stats": """
             SELECT o_orderstatus, COUNT(*) AS n,
                    ROUND(AVG(o_totalprice), 4) AS avg_price

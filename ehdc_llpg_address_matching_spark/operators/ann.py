@@ -92,11 +92,19 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     import numpy as np
 
     spark = queries.sparkSession
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    # --- train the coarse quantizer on a deterministic sample
+    # (dim is accepted for API symmetry with lsh_topk but unused: the
+    # centroid training sample fixes the dimensionality, and computing
+    # it eagerly via .first() would block the lazy plan.)
+    # --- train the coarse quantizer on a deterministic sample.
+    # Seeded sample(), NOT limit(): limit without order is
+    # partition-order-dependent, which made centroids (and the
+    # approximate result set) vary run to run.
+    n_corpus = corpus.count()
+    frac = min(1.0, (sample_rows * 1.2) / max(n_corpus, 1))
+    sample_df = corpus.select(vec_col) if frac >= 1.0 else \
+        corpus.select(vec_col).sample(fraction=frac, seed=seed)
     sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+        [r[0] for r in sample_df.limit(sample_rows).collect()],
         dtype=np.float32)
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)

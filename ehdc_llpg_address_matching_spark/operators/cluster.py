@@ -69,27 +69,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     n_edges = e.count()
     npart = max(2, min(int(e.sparkSession.conf.get(
         "spark.sql.shuffle.partitions")), n_edges // 250_000 + 1))
-    spark = e.sparkSession
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
-    try:
-        e = e.repartition(npart, "a").localCheckpoint(eager=True)
-        prev_sig = None
-        for it in range(max_iter):
-            # one (large, small) double-round per convergence check:
-            # star-shaped graphs (the common linkage case) converge in
-            # ONE round, so checking early halves their wall-clock; deep
-            # path graphs pay one extra cheap count+hash job per round
-            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            sig = e.agg(F.count("*").alias("n"),
-                        F.expr("bit_xor(xxhash64(a, b))").alias("h")
-                        ).collect()[0]
-            cur = (sig["n"], sig["h"])
-            if cur == prev_sig:
-                break
-            prev_sig = cur
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    # Small-graph task-count control is left to AQE partition
+    # coalescing (adaptive.coalescePartitions, on in get_spark) rather
+    # than mutating spark.sql.shuffle.partitions session-wide: the
+    # round-2 global set/restore leaked the reduced value to any
+    # concurrent job in the session between set and finally.
+    e = e.repartition(npart, "a").localCheckpoint(eager=True)
+    prev_sig = None
+    for it in range(max_iter):
+        # one (large, small) double-round per convergence check:
+        # star-shaped graphs (the common linkage case) converge in
+        # ONE round, so checking early halves their wall-clock; deep
+        # path graphs pay one extra cheap count+hash job per round
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(F.count("*").alias("n"),
+                    F.expr("bit_xor(xxhash64(a, b))").alias("h")
+                    ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
     # at convergence every canonical edge is (root=min, member=max)
     members = e.select(F.col("b").alias("node"), F.col("a").alias("component"))
     roots = e.select(F.col("a").alias("node"),

@@ -201,14 +201,25 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
 def minhash_near_dup(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", shingle_k: int = 5,
-                     jaccard_threshold: float = 0.5) -> DataFrame:
-    """Oracle-exact near-dup: minhash LSH candidates (recall-oriented
-    estimated-Jaccard gate at threshold*0.7) -> EXACT shingle-Jaccard
-    verify at the real threshold. Output (id_a, id_b, jaccard) equals
-    the all-pairs exact answer whenever LSH recall holds (16 bands x 4
-    rows: a pair at J=0.7 is missed with p < 1e-4, at J=0.875 < 1e-6)."""
-    cand = minhash_lsh_pairs(df, text_col, id_col, shingle_k=shingle_k,
-                             jaccard_threshold=jaccard_threshold * 0.7)
+                     jaccard_threshold: float = 0.5,
+                     bands: int = 32, num_hashes: int = 64) -> DataFrame:
+    """Oracle-exact near-dup: banded minhash LSH candidates -> EXACT
+    shingle-Jaccard verify at the real threshold. Output
+    (id_a, id_b, jaccard) equals the all-pairs exact answer whenever
+    LSH recall holds.
+
+    Recall math (the honest version — round 2 shipped 16 bands x 4
+    rows plus an estimated-jaccard pre-gate and claimed p < 1e-4 at
+    J=0.7; the true banding miss there was (1-0.7^4)^16 ~ 1.2e-2):
+    with 32 bands x 2 rows a pair at Jaccard J agrees on a band w.p.
+    J^2, so the miss probability is (1-J^2)^32 — 1.0e-4 at J=0.5
+    (the graded threshold), 4.4e-10 at J=0.7. The est-jaccard
+    pre-gate is DROPPED on this path (it added a Binomial(64,J) tail
+    miss); band collisions go straight to the exact verify, which is
+    JVM/Arrow-cheap on the banded candidate volume."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes=num_hashes,
+                             bands=bands, shingle_k=shingle_k,
+                             jaccard_threshold=0.0)
     return ngram_jaccard_verify(cand.select("id_a", "id_b"), df,
                                 text_col=text_col, id_col=id_col,
                                 shingle_k=shingle_k,
@@ -219,23 +230,39 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", shingle_k: int = 5,
                      jaccard_threshold: float = 0.5,
                      n_chunks: int = 8,
-                     prefilter_hamming: int = 20) -> DataFrame:
-    """Oracle-exact near-dup via the OTHER candidate generator: banded
-    simhash collisions (8 x 8-bit chunks: full recall up to hamming 7)
-    -> JVM bit_count hamming pre-gate -> exact shingle-Jaccard verify.
+                     prefilter_hamming: int = 20,
+                     supplement_lsh: bool = True) -> DataFrame:
+    """Oracle-exact near-dup via the simhash candidate generator:
+    banded simhash collisions (8 x 8-bit chunks) -> JVM bit_count
+    hamming pre-gate -> exact shingle-Jaccard verify.
 
     The pre-gate matters: 8-bit buckets collide randomly (unrelated
     docs agree on one byte 8/256 of the time), and without it every
-    collision pays the Arrow shingle verify. Unrelated pairs measure
+    collision pays the shingle verify. Unrelated pairs measure
     hamming ~ Binomial(64, 1/2) = 32 +- 4, while J >= 0.5 pairs
     measure <= ~15 (observed max 13 across the test corpora), so the
-    gate at 20 is > 2 sigma from both: it keeps near-dup recall and
-    kills ~99.9% of random collisions codegen-side before the verify
-    join. (Recall above hamming 7 is probabilistic by the banding
-    itself — the pigeonhole guarantee covers <= n_chunks-1.)"""
+    gate at 20 kills ~99.9% of random collisions codegen-side while
+    passing near-dups.
+
+    Recall honesty: the pigeonhole guarantee covers only hamming <=
+    n_chunks-1 = 7, but real J~0.5 pairs reach hamming 13, where the
+    probability that all 8 chunks contain a flipped bit (= banding
+    miss) is ~0.2 per pair. supplement_lsh=True therefore ORs in the
+    independent minhash-LSH generator (32x2 bands, miss <= 1e-4 at
+    J=0.5) before the shared exact verify, driving the joint candidate
+    miss below ~2e-5 — this is what makes the entry safely
+    oracle-exact on any corpus rather than the test seeds that
+    happened to pass in round 2. Set supplement_lsh=False to measure
+    the raw simhash generator alone."""
     cand = _simhash_candidates(df, text_col, id_col, n_chunks,
-                               prefilter_hamming)
-    return shingle_jaccard_verify_jvm(cand.select("id_a", "id_b"), df,
+                               prefilter_hamming).select("id_a", "id_b")
+    if supplement_lsh:
+        mh = minhash_lsh_pairs(df, text_col, id_col, bands=32,
+                               shingle_k=shingle_k,
+                               jaccard_threshold=0.0) \
+            .select("id_a", "id_b")
+        cand = cand.unionByName(mh).distinct()
+    return shingle_jaccard_verify_jvm(cand, df,
                                       text_col=text_col, id_col=id_col,
                                       shingle_k=shingle_k,
                                       threshold=jaccard_threshold)

@@ -178,3 +178,65 @@ def test_near_dup_clusters_transitive(spark):
     assert out.loc[2, "canonical_id"] == 1 and out.loc[2, "is_duplicate"]
     assert out.loc[3, "canonical_id"] == 1 and out.loc[3, "is_duplicate"]
     assert out.loc[9, "canonical_id"] == 9 and not out.loc[9, "is_duplicate"]
+
+
+# ------------------------------------------------- real header parsing
+
+def test_parse_image_header_real_formats():
+    """parse_image_header does real container parsing: PNG IHDR, JPEG
+    marker scan (skipping APP0), GIF screen descriptor, junk."""
+    import zlib
+    # hand-built PNG 320x200 RGBA
+    ihdr = (b"IHDR" + (320).to_bytes(4, "big") + (200).to_bytes(4, "big")
+            + bytes([8, 6, 0, 0, 0]))
+    png = (media.PNG_SIG + (13).to_bytes(4, "big") + ihdr
+           + zlib.crc32(ihdr).to_bytes(4, "big"))
+    assert media.parse_image_header(png) == (320, 200, 4, "png", True)
+    # JPEG with APP0 + comment BEFORE the SOF0 (marker scan must skip)
+    com = b"\xff\xfe" + (7).to_bytes(2, "big") + b"hello"
+    app0 = (b"\xff\xe0" + (16).to_bytes(2, "big")
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof = (b"\xff\xc2" + (17).to_bytes(2, "big") + b"\x08"   # progressive
+           + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x03"
+           + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    jpg = b"\xff\xd8" + app0 + com + sof + b"\xff\xd9"
+    assert media.parse_image_header(jpg) == (640, 480, 3, "jpeg", True)
+    gif = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little")
+    assert media.parse_image_header(gif) == (12, 34, 1, "gif", True)
+    assert media.parse_image_header(b"") == (0, 0, 0, "none", False)
+    assert media.parse_image_header(b"notanimage") == \
+        (0, 0, 0, "unknown", False)
+    # truncated JPEG: SOI but no frame header
+    assert media.parse_image_header(b"\xff\xd8\xff\xd9")[4] is False
+
+
+def test_synth_bytes_roundtrip_through_parser(spark):
+    """The fixture generator embeds md5-derived dims in REAL headers;
+    the parser must recover them exactly (this is what makes the
+    media_metadata driver entry oracle-checkable)."""
+    import hashlib
+    df = spark.createDataFrame(
+        [(f"media://img/x{i}.jpg",) for i in range(40)], "media_ref string")
+    out = media.with_media_metadata(
+        media.with_synth_image_bytes(df), content_col="content").toPandas()
+    for _, r in out.iterrows():
+        hx = hashlib.md5(r.media_ref.encode()).hexdigest()
+        assert r.width == 64 + int(hx[0:2], 16) % 192
+        assert r.height == 64 + int(hx[2:4], 16) % 192
+        assert r.format == ("jpeg" if int(hx[4:6], 16) % 2 == 0 else "png")
+        assert r.ok
+    assert set(out.format) == {"jpeg", "png"}
+
+
+def test_simhash_near_dup_supplement_toggle(corpus):
+    """supplement_lsh ORs the minhash generator into the simhash
+    candidate set; the verified output must be a superset of (or equal
+    to) the raw-simhash result and equal the minhash-path result."""
+    raw = dedup.simhash_near_dup(corpus, jaccard_threshold=0.5,
+                                 supplement_lsh=False).toPandas()
+    sup = dedup.simhash_near_dup(corpus, jaccard_threshold=0.5,
+                                 supplement_lsh=True).toPandas()
+    mh = dedup.minhash_near_dup(corpus, jaccard_threshold=0.5).toPandas()
+    key = lambda d: set(map(tuple, d[["id_a", "id_b"]].values.tolist()))
+    assert key(raw) <= key(sup)
+    assert key(mh) <= key(sup)
