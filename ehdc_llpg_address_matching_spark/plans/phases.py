@@ -129,7 +129,12 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     p4 = phase("p4_scoring", _p4, {"audit_candidates": lambda d: d})
     decided = p4["audit_candidates"]
 
-    # -- p5: fan-out + legacy overrides
+    # -- p5: fan-out + legacy/historic overrides. _det=1 marks the
+    # deterministic UPRN-validated paths so they beat a perfect fuzzy
+    # match (which also reaches confidence 1.0) in the max_by ordering
+    # — same precedence fix as pipeline.py's _prio window. The created
+    # historic gazetteer rows persist as their own warehouse table
+    # (the Iceberg-append analog of migrations/029).
     def _p5():
         acc = D.accepted(decided).select(
             "addr_id", "uprn", "score", "confidence",
@@ -138,18 +143,29 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
             uaddr.select("addr_can", "postcode", "addr_id"),
             ["addr_can", "postcode"], "left")
         fuzzy_doc = doc_addr.join(acc, "addr_id").select(
-            "doc_id", "uprn", "method", "score", "confidence")
+            "doc_id", "uprn", "method", "score", "confidence") \
+            .withColumn("_det", F.lit(0))
         legacy = C.legacy_uprn_matches(docs_n, gazp) \
-            .withColumn("confidence", F.lit(1.0))
-        both = legacy.unionByName(fuzzy_doc)
-        return (both.groupBy("doc_id")
-                .agg(F.max_by(F.struct("uprn", "method", "score",
-                                       "confidence"),
-                              F.struct("confidence", "score", "uprn"))
-                     .alias("_m"))
-                .select("doc_id", "_m.*"))
+            .withColumn("confidence", F.lit(1.0)) \
+            .withColumn("_det", F.lit(1))
+        historic = C.historic_uprn_matches(docs_n, gazp) \
+            .withColumn("confidence", F.lit(1.0)) \
+            .withColumn("_det", F.lit(1))
+        both = legacy.unionByName(historic).unionByName(fuzzy_doc)
+        dm = (both.groupBy("doc_id")
+              .agg(F.max_by(F.struct("uprn", "method", "score",
+                                     "confidence"),
+                            F.struct("_det", "confidence", "score",
+                                     "uprn"))
+                   .alias("_m"))
+              .select("doc_id", "_m.*"))
+        return {"doc_matches": dm,
+                "historic_gazetteer":
+                    C.historic_uprn_records(docs_n, gazp)}
 
-    p5 = phase("p5_matches", _p5, {"doc_matches": lambda m: m})
+    p5 = phase("p5_matches", _p5,
+               {"doc_matches": lambda x: x["doc_matches"],
+                "historic_gazetteer": lambda x: x["historic_gazetteer"]})
     doc_matches = p5["doc_matches"].cache()
 
     # -- p6: clustering + consensus + rescue + metrics
@@ -188,5 +204,6 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         "candidates": cands,
         "audit_candidates": decided,
         "doc_matches": doc_matches,
+        "historic_gazetteer": p5["historic_gazetteer"],
         **p6,
     }
