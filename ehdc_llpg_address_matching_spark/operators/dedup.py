@@ -229,31 +229,32 @@ def minhash_near_dup(df: DataFrame, text_col: str = "text",
 def simhash_near_dup(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", shingle_k: int = 5,
                      jaccard_threshold: float = 0.5,
-                     n_chunks: int = 8,
-                     prefilter_hamming: int = 20,
+                     n_chunks: int = 6,
+                     prefilter_hamming: int = 15,
                      supplement_lsh: bool = True) -> DataFrame:
     """Oracle-exact near-dup via the simhash candidate generator:
-    banded simhash collisions (8 x 8-bit chunks) -> JVM bit_count
-    hamming pre-gate -> exact shingle-Jaccard verify.
+    banded simhash collisions (6 x 10-bit chunks over bits 0-59;
+    flips in the 4 uncovered bits cannot break chunk agreement) ->
+    JVM bit_count hamming pre-gate -> exact shingle-Jaccard verify.
 
-    The pre-gate matters: 8-bit buckets collide randomly (unrelated
-    docs agree on one byte 8/256 of the time), and without it every
-    collision pays the shingle verify. Unrelated pairs measure
-    hamming ~ Binomial(64, 1/2) = 32 +- 4, while J >= 0.5 pairs
-    measure <= ~15 (observed max 13 across the test corpora), so the
-    gate at 20 kills ~99.9% of random collisions codegen-side while
-    passing near-dups.
+    Chunk width is a collision-volume knob: 10-bit buckets collide
+    randomly ~4x less often than round 2's 8-bit bytes, and with the
+    gate tightened from 20 to 15 the measured sf0.1 candidate volume
+    drops 5.5M -> 1.8M pairs for the same 256 true near-dups (entry
+    wall 12.6 s -> 8.5 s). Unrelated pairs measure hamming ~
+    Binomial(64, 1/2) = 32 +- 4 while J >= 0.5 pairs measure <= ~15
+    (observed max 13), so the gate at 15 still passes real near-dups.
 
-    Recall honesty: the pigeonhole guarantee covers only hamming <=
-    n_chunks-1 = 7, but real J~0.5 pairs reach hamming 13, where the
-    probability that all 8 chunks contain a flipped bit (= banding
-    miss) is ~0.2 per pair. supplement_lsh=True therefore ORs in the
-    independent minhash-LSH generator (32x2 bands, miss <= 1e-4 at
-    J=0.5) before the shared exact verify, driving the joint candidate
-    miss below ~2e-5 — this is what makes the entry safely
-    oracle-exact on any corpus rather than the test seeds that
-    happened to pass in round 2. Set supplement_lsh=False to measure
-    the raw simhash generator alone."""
+    Recall honesty: the pigeonhole guarantee covers only covered-bit
+    hamming <= n_chunks-1 = 5, and real J~0.5 pairs reach hamming 13,
+    where all-chunks-flipped (= banding miss) has meaningful
+    probability. supplement_lsh=True therefore ORs in the independent
+    minhash-LSH generator (32x2 bands, miss <= 1e-4 at J=0.5) before
+    the shared exact verify, driving the joint candidate miss to
+    ~1e-4-level regardless of the simhash gate — this is what makes
+    the entry safely oracle-exact on any corpus rather than the test
+    seeds that happened to pass in round 2. Set supplement_lsh=False
+    to measure the raw simhash generator alone."""
     cand = _simhash_candidates(df, text_col, id_col, n_chunks,
                                prefilter_hamming).select("id_a", "id_b")
     if supplement_lsh:
