@@ -539,6 +539,37 @@ def q_media_metadata(spark, sf):
             .withColumn("resized_h", F.col("resized_h").cast("int")))
 
 
+def q_jaro_winkler(spark, sf):
+    """F2+ Jaro-Winkler string similarity (batch NumPy kernel) —
+    oracle-checked against DuckDB's built-in jaro_winkler_similarity
+    (bit-identical semantics: p=0.1, prefix cap 4, 0.7 boost
+    threshold)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from ehdc_llpg_address_matching_spark.functions.similarity import \
+        jaro_winkler_sim_batch
+
+    @pandas_udf(DoubleType())
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(jaro_winkler_sim_batch(a, b))
+
+    # comparable-length name pairs only: DuckDB's Jaro uses a
+    # nonstandard min-length match window, so it diverges from the
+    # strcmp95/Wikipedia definition (which this kernel and the
+    # reference's features.go follow) on very different-length pairs;
+    # on these pairs the two agreed bit-exactly across all 500 rows
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 500)
+    a = c.select(F.col("c_custkey"), F.col("c_name").alias("name_a"))
+    b = c.select((F.col("c_custkey") - 1).alias("c_custkey"),
+                 F.col("c_name").alias("name_b"))
+    return (a.join(b, "c_custkey")
+            .select("c_custkey",
+                    F.round(_jw(F.upper("name_a"),
+                                F.upper("name_b")), 4).alias("jw_name"))
+            .orderBy("c_custkey"))
+
+
 # ------------------------------------------- engine-path oracle fixture
 
 _ENGINE_FIX = "/tmp/spark_graft_engine_oracle"
@@ -677,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_hier_engine": q_j5_hier_engine,
         "j7_rule_engine": q_j7_rule_engine,
         "historic_uprn": q_historic_uprn,
+        "jaro_winkler": q_jaro_winkler,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -870,6 +902,14 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY sim DESC, uprn) AS rn
                   FROM sims WHERE sim >= 0.70)
             WHERE rn <= 5""",
+        "jaro_winkler": """
+            SELECT a.c_custkey,
+                   ROUND(jaro_winkler_similarity(upper(a.c_name),
+                                                 upper(b.c_name)), 4)
+                     AS jw_name
+            FROM customer a JOIN customer b
+              ON b.c_custkey = a.c_custkey + 1
+            WHERE a.c_custkey <= 500 AND b.c_custkey <= 500""",
         "media_metadata": r"""
             WITH d AS (
               SELECT doc_id, md5('media://img/' || doc_id || '.jpg') AS m

@@ -120,6 +120,35 @@ def jaro_sim_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
     return np.where(m > 0, sim, 0.0)
 
 
+def jaro_winkler_sim_batch(a: pd.Series, b: pd.Series,
+                           p: float = 0.1, max_prefix: int = 4,
+                           boost_threshold: float = 0.7) -> np.ndarray:
+    """Jaro-Winkler: Jaro plus the standard common-prefix boost
+    jw = j + l*p*(1-j), l = shared prefix length capped at 4, p=0.1,
+    boost applied only when j > 0.7 (Winkler 1990 constants; verified
+    bit-identical to DuckDB's jaro_winkler_similarity). The
+    reference's north-star feature set names Jaro-Winkler but its
+    shipped helper is a character-overlap stand-in ("Simplified
+    implementation", internal/normalize/enhanced.go:400-418; the
+    engine's own comment says "For production, use a proper
+    Jaro-Winkler", fuzzy.go:575) — this is the proper one, vectorized
+    on top of the batch Jaro kernel."""
+    base = jaro_sim_batch(a, b)
+    n = len(base)
+    if n == 0:
+        return base
+    A, la = _char_matrix(a)
+    B, lb = _char_matrix(b)
+    L = min(max_prefix, A.shape[1], B.shape[1])
+    if L == 0:
+        return base
+    ii = np.arange(L)[None, :]
+    eq = (A[:, :L] == B[:, :L]) & (ii < la[:, None]) & (ii < lb[:, None])
+    prefix = np.cumprod(eq, axis=1).sum(axis=1)
+    return np.where(base > boost_threshold,
+                    base + prefix * p * (1.0 - base), base)
+
+
 def _trigram_set(s: str) -> frozenset:
     """pg_trgm-compatible gram set: per word, pad '  w ' then slide 3.
     (pg_trgm semantics re-derived from its public docs, not reference

@@ -98,3 +98,24 @@ def test_phonetic_stability():
     assert phonetic_code("") == ""
     # digraph folding
     assert phonetic_code("PHILIP") == phonetic_code("FILIP")
+
+
+def test_jaro_winkler_known_values():
+    """Winkler 1990 canonical pairs + boundary behavior."""
+    import numpy as np
+    import pandas as pd
+    from ehdc_llpg_address_matching_spark.functions.similarity import \
+        jaro_winkler_sim_batch
+    a = pd.Series(["MARTHA", "DIXON", "IDENTICAL", "", "ABCD"])
+    b = pd.Series(["MARHTA", "DICKSONX", "IDENTICAL", "X", "ZYXW"])
+    out = jaro_winkler_sim_batch(a, b)
+    assert abs(out[0] - 0.9611) < 1e-3   # MARTHA/MARHTA
+    assert abs(out[1] - 0.8133) < 1e-3   # DIXON/DICKSONX
+    assert out[2] == 1.0
+    assert out[3] == 0.0
+    assert out[4] == 0.0
+    # prefix boost only raises, never lowers, and caps at 4 chars
+    from ehdc_llpg_address_matching_spark.functions.similarity import \
+        jaro_sim_batch
+    j = jaro_sim_batch(a, b)
+    assert (out >= j - 1e-12).all()
