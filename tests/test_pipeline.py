@@ -115,3 +115,43 @@ def test_attach_join_runs_once(spark, monkeypatch):
     assert len(calls) == 1
     # and the audit table still carries the canonical strings + lev
     assert {"d_core", "g_core", "lev"} <= set(out["audit_candidates"].columns)
+
+
+def test_historic_uprn_length_gate(spark):
+    """Digit fragments surviving clean_uprn_series (e.g. '3' from
+    'FLAT 3' typed into the UPRN field) must NOT spawn historic
+    records — only 6-12 digit UPRNs qualify."""
+    from ehdc_llpg_address_matching_spark.operators.candidates import (
+        historic_uprn_matches, historic_uprn_records)
+    docs_n = spark.createDataFrame(pd.DataFrame([
+        dict(doc_id="d1", raw_address="1 A ST", uprn_clean="3"),
+        dict(doc_id="d2", raw_address="2 B ST", uprn_clean="12345"),
+        dict(doc_id="d3", raw_address="3 C ST", uprn_clean="123456"),
+        dict(doc_id="d4", raw_address="4 D ST",
+             uprn_clean="1234567890123"),
+        dict(doc_id="d5", raw_address="5 E ST", uprn_clean=None),
+    ]))
+    gazp = spark.createDataFrame(pd.DataFrame(
+        [dict(uprn="999999999", source_type="original")]))
+    recs = historic_uprn_records(docs_n, gazp).toPandas()
+    assert set(recs.uprn) == {"123456"}
+    m = historic_uprn_matches(docs_n, gazp).toPandas()
+    assert set(m.doc_id) == {"d3"}
+
+
+def test_historic_uprn_representative_address(spark):
+    """One record per missing UPRN; the most common raw_address wins
+    (the bulk tool's ORDER BY document_count DESC)."""
+    from ehdc_llpg_address_matching_spark.operators.candidates import \
+        historic_uprn_records
+    rows = [dict(doc_id=f"d{i}", raw_address="COMMON ADDR",
+                 uprn_clean="555000111") for i in range(3)]
+    rows.append(dict(doc_id="d9", raw_address="RARE ADDR",
+                     uprn_clean="555000111"))
+    docs_n = spark.createDataFrame(pd.DataFrame(rows))
+    gazp = spark.createDataFrame(pd.DataFrame(
+        [dict(uprn="999999999", source_type="original")]))
+    recs = historic_uprn_records(docs_n, gazp).toPandas()
+    assert len(recs) == 1
+    assert recs.iloc[0].full_address == "COMMON ADDR"
+    assert recs.iloc[0].n_source_docs == 4
