@@ -598,6 +598,57 @@ def cand_vector(uaddr: DataFrame, gazp: DataFrame, embed_dim: int,
     return out.withColumn("method", F.lit("vector"))
 
 
+def cand_vector_ivf(uaddr: DataFrame, gazp: DataFrame,
+                    top_k: int = 10, min_sim: float = 0.70,
+                    n_cells: int = 64, n_probe: int = 8,
+                    embed_dim: int = 0) -> DataFrame:
+    """J9 at gazetteer scales where broadcast is impossible: a 10^8-row
+    x 384-dim float32 gazetteer matrix is ~150 GB — cand_vector's
+    collect-and-broadcast GEMM (the right plan for the reference's
+    72K-row gazetteer) cannot ship that to every executor. This path
+    routes the same semantics through the IVF coarse quantizer
+    (operators/ann.ivf_topk): centroids train on a bounded seeded
+    sample, the gazetteer is bucketed by nearest centroid in one
+    map-only pass, each address probes its n_probe nearest cells, and
+    the only shuffle is the equi-join on the short cell id. Recall is
+    tunable via n_probe (n_probe = n_cells degenerates to exact).
+
+    Returns (addr_id, uprn, vec_sim, method='vector') — same contract
+    and the reference's (dot+1)/2 similarity convention as
+    cand_vector, so the two are drop-in alternatives behind
+    PipelineConfig.vector_mode."""
+    from .ann import ivf_topk
+    from ..functions.embed import hash_embed_batch
+
+    if embed_dim <= 0:
+        # one-row schema probe of the corpus embedding width — O(1)
+        # at any corpus scale (not the whole-matrix collect this
+        # path exists to avoid)
+        embed_dim = len(gazp.select("embedding").first()[0])
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @pandas_udf(ArrayType(FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        m = hash_embed_batch(texts, embed_dim)
+        return pd.Series([row.tolist() for row in m])
+
+    q = uaddr.select(F.col("addr_id").alias("vec_id"),
+                     _embed(F.col("addr_core")).alias("embedding"))
+    c = (gazp.filter(F.col("source_type") == "original")
+         .select(F.col("uprn").alias("vec_id"), "embedding"))
+    out = ivf_topk(q, c, k=top_k, n_cells=n_cells, n_probe=n_probe,
+                   exclude_self=False)
+    # same keep-gate as cand_vector: cosine >= 2*min_sim - 1, reported
+    # in the reference's (dot+1)/2 in-[0,1] space
+    return (out.filter(F.col("cosine") >= 2 * min_sim - 1)
+            .select(F.col("query_id").alias("addr_id"),
+                    F.col("neighbor_id").alias("uprn"),
+                    ((F.col("cosine") + 1.0) / 2.0).alias("vec_sim"),
+                    F.lit("vector").alias("method")))
+
+
 def union_candidates(*cands: DataFrame) -> DataFrame:
     """D7 union + dedupe keep-all-methods: one row per (addr_id, uprn)
     with the set of generating methods and the max method-carried

@@ -38,6 +38,13 @@ class PipelineConfig:
     spatial_radius_m: float = 100.0
     vector_top_k: int = 10
     vector_min_sim: float = 0.70
+    # 'broadcast': collect-and-broadcast GEMM (right for reference-size
+    # 72K-row gazetteers). 'ivf': coarse-quantizer path for gazetteers
+    # whose embedding matrix can't be broadcast (10^8 rows) — same
+    # contract, one shuffle on the cell id (candidates.cand_vector_ivf)
+    vector_mode: str = "broadcast"
+    ivf_cells: int = 64
+    ivf_probe: int = 8
     enable_vector: bool = True
     enable_spatial: bool = True
     enable_symspell: bool = True
@@ -110,9 +117,16 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     if cfg.enable_spatial:
         gens.append(C.cand_spatial(uaddr, gazp, radius_m=cfg.spatial_radius_m))
     if cfg.enable_vector and "embedding" in gaz.columns:
-        gens.append(C.cand_vector(uaddr, gazp, embed_dim=0,
-                                  top_k=cfg.vector_top_k,
-                                  min_sim=cfg.vector_min_sim))
+        if cfg.vector_mode == "ivf":
+            gens.append(C.cand_vector_ivf(uaddr, gazp,
+                                          top_k=cfg.vector_top_k,
+                                          min_sim=cfg.vector_min_sim,
+                                          n_cells=cfg.ivf_cells,
+                                          n_probe=cfg.ivf_probe))
+        else:
+            gens.append(C.cand_vector(uaddr, gazp, embed_dim=0,
+                                      top_k=cfg.vector_top_k,
+                                      min_sim=cfg.vector_min_sim))
     gens.append(C.cand_hierarchical(uaddr, gazp))
     # eager localCheckpoint, not cache: the union of 7 generators (each
     # a join tree over uaddr/gazp) is a LARGE logical plan, and every

@@ -155,3 +155,26 @@ def test_historic_uprn_representative_address(spark):
     assert len(recs) == 1
     assert recs.iloc[0].full_address == "COMMON ADDR"
     assert recs.iloc[0].n_source_docs == 4
+
+
+def test_vector_mode_ivf_pipeline(spark):
+    """The IVF vector path (no gazetteer broadcast — the 10^8-row
+    deployment shape) is a drop-in for the broadcast GEMM: pipeline
+    stays green and vector candidates appear. n_probe = n_cells makes
+    IVF exact, so the accepted matches must equal broadcast mode's."""
+    cfg = SynthConfig(seed=13, n_gazetteer=120, n_docs=150)
+    gaz, docs, gold = synth_tables(cfg)
+    d, g = spark.createDataFrame(docs), spark.createDataFrame(gaz)
+    out_b = run_pipeline(spark, d, g, PipelineConfig(
+        vector_mode="broadcast"))
+    out_i = run_pipeline(spark, d, g, PipelineConfig(
+        vector_mode="ivf", ivf_cells=8, ivf_probe=8))
+    mb = out_b["matches"].select("doc_id", "uprn").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    mi = out_i["matches"].select("doc_id", "uprn").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert mb.equals(mi)
+    methods = (out_i["candidates"]
+               .select(F.explode("methods").alias("m"))
+               .select("m").distinct().toPandas().m.tolist())
+    assert "vector" in methods
