@@ -514,6 +514,38 @@ def q_linkage_pipeline(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_linkage_deterministic(spark, sf):
+    """The flagship pipeline's DETERMINISTIC slice, oracle-checked
+    end-to-end: run the REAL run_pipeline on a synth spans corpus and
+    return only the legacy/historic UPRN-validated matches. Those are
+    exactly SQL-derivable from (raw_uprn, gazetteer uprns) — clean the
+    UPRN, in-gaz -> legacy_uprn, valid-format-but-absent ->
+    historic_uprn, confidence 1.0 — so DuckDB can verify that the full
+    pipeline (normalization, candidate union, decisions, precedence
+    window, consensus, rescue) neither loses nor reassigns a single
+    deterministic match. Complements the rows-only q_linkage_pipeline."""
+    import os
+    from ehdc_llpg_address_matching_spark.pipeline import (PipelineConfig,
+                                                           run_pipeline)
+    from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
+                                                        synth_spark_tables)
+    gaz_df, docs_df, _ = synth_spark_tables(
+        spark, SynthConfig(seed=31, n_gazetteer=100, n_docs=150,
+                           historic_frac=0.25))
+    fix = "/tmp/spark_graft_linkage_det"
+    docs_df.select("doc_id", "raw_uprn").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{fix}/docs.parquet")
+    gaz_df.select("uprn").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{fix}/gaz.parquet")
+    out = run_pipeline(spark, docs_df, gaz_df,
+                       PipelineConfig(enable_vector=False))
+    return (out["matches"]
+            .filter(F.col("method").isin("legacy_uprn", "historic_uprn"))
+            .select("doc_id", "uprn", "method",
+                    F.round("confidence", 4).alias("confidence"))
+            .orderBy("doc_id"))
+
+
 def q_media_metadata(spark, sf):
     """Multimodal metadata: REAL pure-python JPEG/PNG header parsing
     (parse_image_header — marker scan / IHDR chunk, no image libs)
@@ -709,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_rule_engine": q_j7_rule_engine,
         "historic_uprn": q_historic_uprn,
         "jaro_winkler": q_jaro_winkler,
+        "linkage_deterministic": q_linkage_deterministic,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -902,6 +935,25 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY sim DESC, uprn) AS rn
                   FROM sims WHERE sim >= 0.70)
             WHERE rn <= 5""",
+        "linkage_deterministic": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     nullif(regexp_replace(regexp_replace(
+                         coalesce(raw_uprn, ''), '\.0+$', ''),
+                         '[^0-9]', '', 'g'), '') AS u
+              FROM read_parquet(
+                '/tmp/spark_graft_linkage_det/docs.parquet/*.parquet')),
+            g AS (SELECT uprn FROM read_parquet(
+                '/tmp/spark_graft_linkage_det/gaz.parquet/*.parquet'))
+            SELECT doc_id, u AS uprn, 'legacy_uprn' AS method,
+                   CAST(1.0 AS DOUBLE) AS confidence
+            FROM d WHERE u IS NOT NULL
+              AND EXISTS (SELECT 1 FROM g WHERE g.uprn = d.u)
+            UNION ALL
+            SELECT doc_id, u, 'historic_uprn', CAST(1.0 AS DOUBLE)
+            FROM d WHERE u IS NOT NULL
+              AND length(u) BETWEEN 6 AND 12
+              AND NOT EXISTS (SELECT 1 FROM g WHERE g.uprn = d.u)""",
         "jaro_winkler": """
             SELECT a.c_custkey,
                    ROUND(jaro_winkler_similarity(upper(a.c_name),
