@@ -208,10 +208,17 @@ def run_scoring_phase(spark, pairs_path: str, n_cpus: int,
     # between runs. Doubling the rows per job halves the overhead
     # fraction; throughput divides by the doubled count, so the
     # number itself is unchanged in expectation, just steadier.
+    # The duplicated half's addr_id is suffixed so keep_best_per_uprn
+    # does NOT collapse the two copies at its first aggregation —
+    # every stage downstream of the first shuffle really processes
+    # 2x rows, keeping pairs_per_sec honestly normalized.
+    from pyspark.sql import functions as _F
     base = (spark.read.parquet(pairs_path)
             .repartition(n_cpus * 4).cache())
     n_base = base.count()
-    pairs = base.unionByName(base)
+    pairs = base.unionByName(
+        base.withColumn("addr_id",
+                        _F.concat(_F.col("addr_id"), _F.lit("#dup"))))
     n_pairs = n_base * 2
 
     def build():

@@ -92,19 +92,23 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     import numpy as np
 
     spark = queries.sparkSession
-    # (dim is accepted for API symmetry with lsh_topk but unused: the
-    # centroid training sample fixes the dimensionality, and computing
-    # it eagerly via .first() would block the lazy plan.)
+    # (dim is accepted for API symmetry with lsh_topk but DEPRECATED /
+    # unused: the centroid training sample fixes the dimensionality.)
     # --- train the coarse quantizer on a deterministic sample.
-    # Seeded sample(), NOT limit(): limit without order is
-    # partition-order-dependent, which made centroids (and the
-    # approximate result set) vary run to run.
-    n_corpus = corpus.count()
-    frac = min(1.0, (sample_rows * 1.2) / max(n_corpus, 1))
-    sample_df = corpus.select(vec_col) if frac >= 1.0 else \
-        corpus.select(vec_col).sample(fraction=frac, seed=seed)
+    # Hash-ordered top-k, NOT count()+sample()+limit(): the old shape
+    # paid a full eager count() pass over the corpus at plan-build time
+    # — in the very path that exists for un-broadcastable 10^8-row
+    # corpora. orderBy(xxhash64(id)) + limit compiles to
+    # TakeOrderedAndProject: ONE pass, per-partition top-k then a
+    # driver merge of num_partitions x sample_rows rows, and the
+    # selected rows are deterministic regardless of partitioning
+    # (plain limit without order is partition-order-dependent, which
+    # made centroids vary run to run).
     sample = np.array(
-        [r[0] for r in sample_df.limit(sample_rows).collect()],
+        [r[0] for r in corpus
+            .select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+            .orderBy("_h").limit(sample_rows)
+            .select(vec_col).collect()],
         dtype=np.float32)
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)

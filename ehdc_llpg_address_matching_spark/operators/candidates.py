@@ -120,7 +120,7 @@ def legacy_uprn_matches(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
                     F.lit(1.0).alias("score")))
 
 
-def _missing_legacy_uprns(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
+def missing_legacy_uprns(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
     """Documents whose cleaned legacy UPRN is plausibly valid (6-12
     digits — production UPRNs are 9-12; the lower bound guards against
     digit fragments surviving clean_uprn_series) but absent from the
@@ -137,7 +137,12 @@ def _missing_legacy_uprns(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
             .join(gaz_uprns, "uprn", "left_anti"))
 
 
-def historic_uprn_records(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
+# back-compat alias (pre-round-4 name)
+_missing_legacy_uprns = missing_legacy_uprns
+
+
+def historic_uprn_records(docs_norm: DataFrame, gazp: DataFrame,
+                          missing: DataFrame | None = None) -> DataFrame:
     """Bulk historic-UPRN creation — the reference's single largest
     correction bucket (5,119 of 10,015 production corrections,
     ADDRESS_MATCHING_PROCESS.md:239-249): a legacy UPRN that is valid
@@ -151,8 +156,15 @@ def historic_uprn_records(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
     most common raw_address for that UPRN (the bulk tool's ORDER BY
     document_count DESC), ties broken lexicographically for
     determinism. Output is appendable to the raw gazetteer table
-    (Iceberg append at scale)."""
-    per_addr = (_missing_legacy_uprns(docs_norm, gazp)
+    (Iceberg append at scale).
+
+    `missing` (optional): a precomputed missing_legacy_uprns frame —
+    pipeline callers compute it ONCE (cache/localCheckpoint) and feed
+    it to both this and historic_uprn_matches, so the gazetteer-UPRN
+    distinct + anti-join never executes per consumer."""
+    if missing is None:
+        missing = missing_legacy_uprns(docs_norm, gazp)
+    per_addr = (missing
                 .groupBy("uprn", "raw_address")
                 .agg(F.count("*").alias("n_docs"),
                      F.min("doc_id").alias("sample_doc")))
@@ -167,13 +179,17 @@ def historic_uprn_records(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
                     "n_source_docs"))
 
 
-def historic_uprn_matches(docs_norm: DataFrame, gazp: DataFrame) -> DataFrame:
+def historic_uprn_matches(docs_norm: DataFrame, gazp: DataFrame,
+                          missing: DataFrame | None = None) -> DataFrame:
     """Doc-level direct matches for the historic path: every document
     whose legacy UPRN triggered historic creation auto-accepts against
     that UPRN at confidence 1.0 (reference decision 'auto_accept',
     engine_components_fixed.go:76-90). Runs BEFORE fuzzy precedence-
-    wise — the pipeline's deterministic-beats-fuzzy rule applies."""
-    return (_missing_legacy_uprns(docs_norm, gazp)
+    wise — the pipeline's deterministic-beats-fuzzy rule applies.
+    `missing`: see historic_uprn_records."""
+    if missing is None:
+        missing = missing_legacy_uprns(docs_norm, gazp)
+    return (missing
             .select("doc_id", "uprn",
                     F.lit("historic_uprn").alias("method"),
                     F.lit(1.0).alias("score")))

@@ -64,11 +64,22 @@ def parse_image_header(data) -> tuple[int, int, int, str, bool]:
             if b[i] != 0xFF:
                 i += 1
                 continue
+            if b[i + 1] == 0xFF:
+                # legal fill/padding byte before a marker (T.81 B.1.1.2)
+                # — must NOT be read as a marker with a length field
+                i += 1
+                continue
             marker = b[i + 1]
+            if marker == 0x00:  # stuffed byte, not a marker
+                i += 2
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2          # standalone markers carry no length
                 continue
-            if marker == 0xD9:  # EOI
+            if marker in (0xD9, 0xDA):
+                # EOI, or SOS without a preceding SOF: past SOS lies
+                # entropy-coded data where spurious 0xFF,0xCx byte
+                # pairs would be misread as frame headers — stop.
                 break
             seg_len = int.from_bytes(b[i + 2:i + 4], "big")
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):

@@ -90,12 +90,21 @@ def normalize_documents(docs: DataFrame, symspell: SymSpell | None) -> DataFrame
 
 
 def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
-                 cfg: PipelineConfig | None = None) -> dict[str, DataFrame]:
+                 cfg: PipelineConfig | None = None,
+                 gazp_prepared: DataFrame | None = None) -> dict[str, DataFrame]:
+    """gazp_prepared: an already-prepared (prepare_gazetteer) frame —
+    callers that run the pipeline repeatedly over the same gazetteer
+    (streaming foreachBatch, threshold sweeps) prepare + persist it
+    ONCE and pass it here instead of paying normalization + range
+    expansion per run."""
     cfg = cfg or PipelineConfig()
 
     # --- phase: gazetteer prep (original ∪ range-expanded, keys, cache)
-    gazp = C.prepare_gazetteer(gaz)
-    gazp = gazp.cache()
+    if gazp_prepared is not None:
+        gazp = gazp_prepared
+    else:
+        gazp = C.prepare_gazetteer(gaz)
+        gazp = gazp.cache()
 
     # --- phase: document normalization (+ SymSpell vs gazetteer vocab)
     sym = build_dictionary_from_gazetteer(gazp, addr_col="addr_core") \
@@ -169,8 +178,14 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     # historic-UPRN creation: valid legacy UPRNs ABSENT from the LLPG
     # spawn historic gazetteer records and auto-accept (the reference's
     # largest correction bucket — cmd/bulk-historic-uprns). Disjoint
-    # from `legacy` by construction (in-gaz vs not-in-gaz).
-    historic = C.historic_uprn_matches(docs_n, gazp) \
+    # from `legacy` by construction (in-gaz vs not-in-gaz). The
+    # missing-UPRN set is materialized ONCE and feeds both the match
+    # path and the appendable historic_gazetteer output — the
+    # gazetteer-UPRN distinct + anti-join (the expensive part at 10^8
+    # gazetteer rows) must not re-execute per consumer.
+    missing = C.missing_legacy_uprns(docs_n, gazp) \
+        .localCheckpoint(eager=True)
+    historic = C.historic_uprn_matches(docs_n, gazp, missing=missing) \
         .withColumn("confidence", F.lit(1.0))
     # legacy/historic win where both exist (reference precedence:
     # ADDRESS_MATCHING_PROCESS.md:66-72 — deterministic beats fuzzy).
@@ -201,11 +216,15 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         allowMissingColumns=True)
     # consensus/rescue only touch previously-unmatched docs, but keep a
     # deterministic one-row-per-doc guarantee regardless
+    # min_by with negated confidence/score: ties break toward the MIN
+    # uprn, matching the doc_matches window above and phases.py p5/p6
     matches = (matches
                .groupBy("doc_id")
-               .agg(F.max_by(
+               .agg(F.min_by(
                    F.struct("uprn", "method", "score", "confidence"),
-                   F.struct("confidence", "score", "uprn")).alias("_m"))
+                   F.struct((-F.col("confidence")).alias("_c"),
+                            (-F.col("score")).alias("_s"),
+                            F.col("uprn").alias("_u"))).alias("_m"))
                .select("doc_id", "_m.*"))
     clusters = canonical_uprn_per_cluster(comps, doc_matches)
 
@@ -225,7 +244,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         # appendable historic gazetteer rows (migrations/029 analog):
         # at scale this is the Iceberg append that pre-populates missing
         # UPRNs before the next run, per cmd/bulk-historic-uprns
-        "historic_gazetteer": C.historic_uprn_records(docs_n, gazp),
+        "historic_gazetteer": C.historic_uprn_records(docs_n, gazp,
+                                                      missing=missing),
         "candidates": cands,
         "audit_candidates": decided,
         "doc_matches": doc_matches,

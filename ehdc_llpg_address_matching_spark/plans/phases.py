@@ -148,20 +148,33 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         legacy = C.legacy_uprn_matches(docs_n, gazp) \
             .withColumn("confidence", F.lit(1.0)) \
             .withColumn("_det", F.lit(1))
-        historic = C.historic_uprn_matches(docs_n, gazp) \
+        # one distinct+anti-join for BOTH historic outputs (matches +
+        # appendable gazetteer rows) — at a 10^8-row gazetteer the
+        # distinct is the cost, so it must not run once per consumer
+        missing = C.missing_legacy_uprns(docs_n, gazp) \
+            .localCheckpoint(eager=True)
+        historic = C.historic_uprn_matches(docs_n, gazp, missing=missing) \
             .withColumn("confidence", F.lit(1.0)) \
             .withColumn("_det", F.lit(1))
         both = legacy.unionByName(historic).unionByName(fuzzy_doc)
+        # min_by with negated det/confidence/score so exact ties break
+        # toward the MIN uprn — the same precedence pipeline.py's
+        # window (asc(_prio), desc(conf), desc(score), asc(uprn))
+        # implements; max_by over (…, uprn) silently preferred the MAX
+        # uprn on ties, breaking phased-vs-monolithic parity
         dm = (both.groupBy("doc_id")
-              .agg(F.max_by(F.struct("uprn", "method", "score",
+              .agg(F.min_by(F.struct("uprn", "method", "score",
                                      "confidence"),
-                            F.struct("_det", "confidence", "score",
-                                     "uprn"))
+                            F.struct((-F.col("_det")).alias("_d"),
+                                     (-F.col("confidence")).alias("_c"),
+                                     (-F.col("score")).alias("_s"),
+                                     F.col("uprn").alias("_u")))
                    .alias("_m"))
               .select("doc_id", "_m.*"))
         return {"doc_matches": dm,
                 "historic_gazetteer":
-                    C.historic_uprn_records(docs_n, gazp)}
+                    C.historic_uprn_records(docs_n, gazp,
+                                            missing=missing)}
 
     p5 = phase("p5_matches", _p5,
                {"doc_matches": lambda x: x["doc_matches"],
@@ -181,9 +194,11 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
                                                   F.col("confidence")),
                                 allowMissingColumns=True))
         matches = (matches.groupBy("doc_id")
-                   .agg(F.max_by(F.struct("uprn", "method", "score",
+                   .agg(F.min_by(F.struct("uprn", "method", "score",
                                           "confidence"),
-                                 F.struct("confidence", "score", "uprn"))
+                                 F.struct((-F.col("confidence")).alias("_c"),
+                                          (-F.col("score")).alias("_s"),
+                                          F.col("uprn").alias("_u")))
                         .alias("_m"))
                    .select("doc_id", "_m.*"))
         clusters = canonical_uprn_per_cluster(comps, doc_matches)

@@ -33,16 +33,21 @@ def start_incremental_linkage(stream: DataFrame, gaz: DataFrame,
                               out_path: str, checkpoint: str,
                               cfg=None, available_now: bool = True):
     """foreachBatch: run the batch pipeline per micro-batch. The
-    gazetteer artifacts are prepared once per batch here (at scale,
-    cache/prepare once outside and close over the prepared frame)."""
+    gazetteer is prepared ONCE at stream start (normalize + range
+    expansion + blocking keys, eager localCheckpoint so the work is
+    materialized, not a lazy plan replayed per batch) and the closure
+    hands the prepared frame to every micro-batch run."""
+    from ..operators import candidates as C
     from ..pipeline import PipelineConfig, run_pipeline
     cfg = cfg or PipelineConfig(enable_vector=False, enable_spatial=False,
                                 enable_symspell=False)
+    gazp = C.prepare_gazetteer(gaz).localCheckpoint(eager=True)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = run_pipeline(batch_df.sparkSession, batch_df, gaz, cfg)
+        out = run_pipeline(batch_df.sparkSession, batch_df, gaz, cfg,
+                           gazp_prepared=gazp)
         (out["matches"]
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(out_path))
