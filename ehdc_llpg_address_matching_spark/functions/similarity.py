@@ -189,6 +189,39 @@ def trigram_sim_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
     return out
 
 
+def trigram_grams_expr(col):
+    """JVM (whole-stage-codegen) mirror of _trigram_set: array<long> of
+    the DISTINCT xxhash64'd pg_trgm 3-grams of a string column — per
+    word, pad '  w ' and slide 3. Computed ONCE per side row (address /
+    gazetteer), so pair similarity becomes pure JVM set algebra via
+    trigram_sim_expr with no per-pair Python at all (the same
+    per-side-arrays trick operators/dedup.shingle_jaccard_verify_jvm
+    uses for 5-token shingles). Hashing is injective in practice:
+    64-bit space vs ~10^2 grams per address."""
+    from pyspark.sql import functions as F
+    words = F.filter(F.split(F.coalesce(col, F.lit("")), " "),
+                     lambda w: w != "")
+
+    def word_grams(w):
+        p = F.concat(F.lit("  "), w, F.lit(" "))
+        return F.transform(F.sequence(F.lit(1), F.length(p) - 2),
+                           lambda i: p.substr(i, F.lit(3)))
+
+    grams = F.flatten(F.transform(words, word_grams))
+    return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def trigram_sim_expr(ga, gb):
+    """3-gram Jaccard |∩|/|∪| over two trigram_grams_expr columns —
+    identical values to trigram_sim_batch (both are set Jaccard over
+    the same gram sets), computed inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+    inter = F.size(F.array_intersect(ga, gb))
+    union = F.size(ga) + F.size(gb) - inter
+    return F.when((F.size(ga) == 0) | (F.size(gb) == 0), F.lit(0.0)) \
+            .otherwise(inter / F.greatest(union, F.lit(1)))
+
+
 def token_cosine_batch(a_tokens, b_tokens) -> np.ndarray:
     """F4 token-frequency (bag-of-words) cosine, the reference's
     cosineBagOfWords (internal/match/features.go:184-228): tf vectors
