@@ -523,25 +523,33 @@ def cand_hierarchical(uaddr: DataFrame, gazp: DataFrame,
              .filter((F.col("d_loc") == "") | (F.col("g_loc") == "") |
                      (F.col("d_loc") == F.col("g_loc"))),
              "street_house_locality")
-    l3 = lvl(d.filter((F.col("d_st") != "") & (F.col("d_loc") != ""))
+    upper12 = l1.unionByName(l2)
+
+    # stop-at-first among the two house-keyed levels
+    lvl_rank = F.when(F.col("level_name") == "postcode_house", 1) \
+        .otherwise(2)
+    w_min = Window.partitionBy("addr_id")
+    upper12 = (upper12.withColumn("_lr", lvl_rank)
+               .withColumn("_best", F.min("_lr").over(w_min))
+               .filter(F.col("_lr") == F.col("_best"))
+               .drop("_lr", "_best"))
+
+    # level 3 (street+locality — the WIDEST selective key) only for the
+    # residue levels 1-2 missed: the min-level window used to discard
+    # every l3 row for an l1/l2-matched address anyway, but at 100x a
+    # big street x locality block pays join volume the window then
+    # throws away — anti-join first, exactly like l4/l5 below
+    resid3 = d.join(upper12.select("addr_id").distinct(), "addr_id",
+                    "left_anti")
+    l3 = lvl(resid3.filter((F.col("d_st") != "") & (F.col("d_loc") != ""))
              .join(g, (F.col("d_st") == F.col("g_st")) &
                    (F.col("d_loc") == F.col("g_loc"))), "street_locality")
-    upper = l1.unionByName(l2).unionByName(l3)
-
-    # stop-at-first among the selective levels
-    lvl_rank = F.when(F.col("level_name") == "postcode_house", 1) \
-        .when(F.col("level_name") == "street_house_locality", 2) \
-        .otherwise(3)
-    w_min = Window.partitionBy("addr_id")
-    upper = (upper.withColumn("_lr", lvl_rank)
-             .withColumn("_best", F.min("_lr").over(w_min))
-             .filter(F.col("_lr") == F.col("_best"))
-             .drop("_lr", "_best"))
+    upper = upper12.unionByName(l3)
 
     # levels 4-5 only for the residue (anti-join): phonetic street,
     # then locality-only for what phonetic also missed
-    resid4 = d.join(upper.select("addr_id").distinct(), "addr_id",
-                    "left_anti")
+    resid4 = resid3.join(l3.select("addr_id").distinct(), "addr_id",
+                         "left_anti")
     l4 = lvl(resid4.filter(F.col("d_phon") != "")
              .join(g.filter(F.col("g_phon") != ""),
                    F.col("d_phon") == F.col("g_phon")), "street_phonetic")

@@ -199,10 +199,26 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                                max_hamming)
 
 
+def minhash_band_candidates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_hashes: int = 64,
+                            bands: int = 32,
+                            shingle_k: int = 5) -> DataFrame:
+    """Raw banded-LSH candidate pairs (id_a, id_b), no est-jaccard gate
+    — the generator stage shared by minhash_near_dup AND
+    simhash_near_dup's recall supplement. Callers that run both (the
+    driver entries, bench) compute this ONCE (localCheckpoint) and
+    pass it to each, so the minhash signature UDF + banded self-join —
+    the expensive piece — never executes twice per corpus."""
+    return minhash_lsh_pairs(df, text_col, id_col, num_hashes=num_hashes,
+                             bands=bands, shingle_k=shingle_k,
+                             jaccard_threshold=0.0).select("id_a", "id_b")
+
+
 def minhash_near_dup(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", shingle_k: int = 5,
                      jaccard_threshold: float = 0.5,
-                     bands: int = 32, num_hashes: int = 64) -> DataFrame:
+                     bands: int = 32, num_hashes: int = 64,
+                     candidates: DataFrame | None = None) -> DataFrame:
     """Oracle-exact near-dup: banded minhash LSH candidates -> EXACT
     shingle-Jaccard verify at the real threshold. Output
     (id_a, id_b, jaccard) equals the all-pairs exact answer whenever
@@ -216,11 +232,16 @@ def minhash_near_dup(df: DataFrame, text_col: str = "text",
     (the graded threshold), 4.4e-10 at J=0.7. The est-jaccard
     pre-gate is DROPPED on this path (it added a Binomial(64,J) tail
     miss); band collisions go straight to the exact verify, which is
-    JVM/Arrow-cheap on the banded candidate volume."""
-    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes=num_hashes,
-                             bands=bands, shingle_k=shingle_k,
-                             jaccard_threshold=0.0)
-    return ngram_jaccard_verify(cand.select("id_a", "id_b"), df,
+    JVM/Arrow-cheap on the banded candidate volume.
+
+    candidates: precomputed minhash_band_candidates (same banding
+    parameters) to skip the generator stage."""
+    if candidates is None:
+        candidates = minhash_band_candidates(df, text_col, id_col,
+                                             num_hashes=num_hashes,
+                                             bands=bands,
+                                             shingle_k=shingle_k)
+    return ngram_jaccard_verify(candidates.select("id_a", "id_b"), df,
                                 text_col=text_col, id_col=id_col,
                                 shingle_k=shingle_k,
                                 threshold=jaccard_threshold)
@@ -230,8 +251,9 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", shingle_k: int = 5,
                      jaccard_threshold: float = 0.5,
                      n_chunks: int = 6,
-                     prefilter_hamming: int = 15,
-                     supplement_lsh: bool = True) -> DataFrame:
+                     prefilter_hamming: int | None = None,
+                     supplement_lsh: bool = True,
+                     lsh_candidates: DataFrame | None = None) -> DataFrame:
     """Oracle-exact near-dup via the simhash candidate generator:
     banded simhash collisions (6 x 10-bit chunks over bits 0-59;
     flips in the 4 uncovered bits cannot break chunk agreement) ->
@@ -254,14 +276,34 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text",
     ~1e-4-level regardless of the simhash gate — this is what makes
     the entry safely oracle-exact on any corpus rather than the test
     seeds that happened to pass in round 2. Set supplement_lsh=False
-    to measure the raw simhash generator alone."""
+    to measure the raw simhash generator alone.
+
+    lsh_candidates: a precomputed minhash_band_candidates frame for
+    the supplement — callers that ALSO run the minhash path on the
+    same corpus pass the shared (checkpointed) candidates so the
+    round-3 regression (this entry paying the full minhash generator
+    a second time, 2.3 s -> 9.4 s at sf0.1) can't recur.
+
+    prefilter_hamming default is ADAPTIVE: 8 when the LSH supplement is
+    on, 15 standalone. Rationale: real J >= 0.5 pairs measure hamming
+    up to ~13-15, so a standalone simhash pass must gate at 15 — but
+    common-token bias makes hamming <= 15 frequent among unrelated
+    docs too (measured sf0.1: 1.8M candidates at 15 vs 139K at 8, the
+    gate being the entry's dominant cost). With the supplement, a true
+    pair missed by the tightened gate (hamming 9-15) is caught by the
+    32x2-band minhash path w.p. 1 - (1-J^2)^32 >= 1 - 1e-4 at J = 0.5
+    — the SAME joint-miss bound the minhash-only entry already
+    carries, so tightening costs no recall the pipeline didn't already
+    accept."""
+    if prefilter_hamming is None:
+        prefilter_hamming = 8 if supplement_lsh else 15
     cand = _simhash_candidates(df, text_col, id_col, n_chunks,
                                prefilter_hamming).select("id_a", "id_b")
     if supplement_lsh:
-        mh = minhash_lsh_pairs(df, text_col, id_col, bands=32,
-                               shingle_k=shingle_k,
-                               jaccard_threshold=0.0) \
-            .select("id_a", "id_b")
+        mh = (lsh_candidates.select("id_a", "id_b")
+              if lsh_candidates is not None
+              else minhash_band_candidates(df, text_col, id_col,
+                                           bands=32, shingle_k=shingle_k))
         cand = cand.unionByName(mh).distinct()
     return shingle_jaccard_verify_jvm(cand, df,
                                       text_col=text_col, id_col=id_col,
