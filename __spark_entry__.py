@@ -575,6 +575,90 @@ def q_linkage_deterministic(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_linkage_exact(spark, sf):
+    """The flagship pipeline's EXACT-CANONICAL slice, oracle-checked
+    end-to-end (reference: internal/engine/deterministic.go:146-178 —
+    one exact hit -> accept at 0.99; several hits disambiguated by the
+    full postcode). The real run_pipeline runs on a synth spans corpus;
+    the ENGINE-prepared unique addresses / gazetteer / doc mapping are
+    persisted as fixture parquet, and the DuckDB oracle re-derives the
+    accepted exact winners from them alone: join on addr_core equality,
+    count distinct exact UPRNs per address, accept the unique hit (or
+    the unique postcode-confirmed hit among twins), drop vague
+    addresses, drop docs the legacy/historic deterministic paths own.
+    The Spark side mirrors that derivation ONLY to select which doc_ids
+    are in the slice — the returned uprn comes from the PIPELINE's
+    matches, so a pipeline that loses or reassigns any exact-unique doc
+    (through scoring, keep-best, decision, precedence, consensus or
+    rescue) hash-mismatches. Together with linkage_deterministic this
+    oracles every non-fuzzy match the flagship emits."""
+    from ehdc_llpg_address_matching_spark.pipeline import (PipelineConfig,
+                                                           run_pipeline)
+    from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
+                                                        synth_spark_tables)
+    gaz_df, docs_df, _ = synth_spark_tables(
+        spark, SynthConfig(seed=47, n_gazetteer=150, n_docs=250,
+                           historic_frac=0.15))
+    out = run_pipeline(spark, docs_df, gaz_df,
+                       PipelineConfig(enable_vector=False))
+    uaddr = out["unique_addresses"]
+    gazp = out["gazetteer_prepared"]
+    docs_n = out["docs_normalized"]
+
+    fix = "/tmp/spark_graft_linkage_exact"
+    pc = lambda c: F.coalesce(F.col(c), F.lit("")).alias("postcode")
+    uaddr.select("addr_can", pc("postcode"), "addr_core", "is_vague") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{fix}/ua.parquet")
+    gazp.select("uprn", F.col("addr_core").alias("g_core"),
+                F.coalesce(F.col("postcode"), F.lit("")).alias("g_pc"),
+                "source_type") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{fix}/gaz.parquet")
+    docs_n.select("doc_id", "addr_can", pc("postcode"), "uprn_clean") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{fix}/docs.parquet")
+
+    ua = spark.read.parquet(f"{fix}/ua.parquet")
+    gz = spark.read.parquet(f"{fix}/gaz.parquet")
+    dz = spark.read.parquet(f"{fix}/docs.parquet")
+
+    # membership mirror (same derivation the oracle runs in SQL)
+    hits = (ua.join(gz.select("uprn", "g_core", "g_pc").distinct(),
+                    ua.addr_core == F.col("g_core"))
+            .groupBy("addr_can", "postcode", "is_vague", "uprn")
+            .agg(F.max(((F.col("postcode") != "") &
+                        (F.col("postcode") == F.col("g_pc"))).cast("int"))
+                 .alias("pc_m")))
+    agg = (hits.groupBy("addr_can", "postcode", "is_vague")
+           .agg(F.count("*").alias("n_exact"),
+                F.sum("pc_m").alias("n_pc"),
+                F.min("uprn").alias("only_uprn"),
+                F.min(F.when(F.col("pc_m") == 1, F.col("uprn")))
+                .alias("pc_uprn")))
+    win = (agg.filter(~F.col("is_vague"))
+           .withColumn("exp_uprn",
+                       F.when(F.col("n_exact") == 1, F.col("only_uprn"))
+                        .when(F.col("n_pc") == 1, F.col("pc_uprn")))
+           .filter(F.col("exp_uprn").isNotNull())
+           .select("addr_can", "postcode"))
+    gaz_uprns = gz.filter(F.col("source_type") == "original") \
+        .select("uprn").distinct()
+    det_docs = (dz.filter(F.col("uprn_clean").isNotNull())
+                .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
+                      "left_semi")
+                .select("doc_id")
+                .unionByName(
+                    dz.filter(F.col("uprn_clean").isNotNull() &
+                              F.length("uprn_clean").between(6, 12))
+                    .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
+                          "left_anti").select("doc_id")))
+    slice_docs = (dz.join(win, ["addr_can", "postcode"], "left_semi")
+                  .join(det_docs, "doc_id", "left_anti")
+                  .select("doc_id"))
+    return (out["matches"]
+            .join(slice_docs, "doc_id", "left_semi")
+            .select("doc_id", "uprn")
+            .orderBy("doc_id"))
+
+
 def q_media_metadata(spark, sf):
     """Multimodal metadata: REAL pure-python JPEG/PNG header parsing
     (parse_image_header — marker scan / IHDR chunk, no image libs)
@@ -771,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "historic_uprn": q_historic_uprn,
         "jaro_winkler": q_jaro_winkler,
         "linkage_deterministic": q_linkage_deterministic,
+        "linkage_exact": q_linkage_exact,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -983,6 +1068,50 @@ def oracle_sql() -> dict[str, str]:
             FROM d WHERE u IS NOT NULL
               AND length(u) BETWEEN 6 AND 12
               AND NOT EXISTS (SELECT 1 FROM g WHERE g.uprn = d.u)""",
+        "linkage_exact": r"""
+            WITH ua AS (
+              SELECT addr_can, postcode, addr_core, is_vague
+              FROM read_parquet(
+                '/tmp/spark_graft_linkage_exact/ua.parquet/*.parquet')),
+            g AS (
+              SELECT DISTINCT uprn, g_core, g_pc FROM read_parquet(
+                '/tmp/spark_graft_linkage_exact/gaz.parquet/*.parquet')),
+            gaz_uprns AS (
+              SELECT DISTINCT uprn FROM read_parquet(
+                '/tmp/spark_graft_linkage_exact/gaz.parquet/*.parquet')
+              WHERE source_type = 'original'),
+            d AS (
+              SELECT doc_id, addr_can, postcode, uprn_clean
+              FROM read_parquet(
+                '/tmp/spark_graft_linkage_exact/docs.parquet/*.parquet')),
+            hits AS (
+              SELECT ua.addr_can, ua.postcode, ua.is_vague, g.uprn,
+                     MAX(CASE WHEN ua.postcode <> ''
+                               AND ua.postcode = g.g_pc
+                              THEN 1 ELSE 0 END) AS pc_m
+              FROM ua JOIN g ON ua.addr_core = g.g_core
+              GROUP BY 1, 2, 3, 4),
+            agg AS (
+              SELECT addr_can, postcode,
+                     COUNT(*) AS n_exact, SUM(pc_m) AS n_pc,
+                     MIN(uprn) AS only_uprn,
+                     MIN(CASE WHEN pc_m = 1 THEN uprn END) AS pc_uprn
+              FROM hits WHERE NOT is_vague
+              GROUP BY 1, 2),
+            win AS (
+              SELECT addr_can, postcode,
+                     CASE WHEN n_exact = 1 THEN only_uprn
+                          WHEN n_pc = 1 THEN pc_uprn END AS exp_uprn
+              FROM agg),
+            det AS (
+              SELECT doc_id FROM d
+              WHERE uprn_clean IS NOT NULL
+                AND (uprn_clean IN (SELECT uprn FROM gaz_uprns)
+                     OR length(uprn_clean) BETWEEN 6 AND 12))
+            SELECT d.doc_id, w.exp_uprn AS uprn
+            FROM d JOIN win w USING (addr_can, postcode)
+            WHERE w.exp_uprn IS NOT NULL
+              AND d.doc_id NOT IN (SELECT doc_id FROM det)""",
         "jaro_winkler": """
             SELECT a.c_custkey,
                    ROUND(jaro_winkler_similarity(upper(a.c_name),
