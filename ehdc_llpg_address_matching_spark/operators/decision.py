@@ -45,6 +45,14 @@ class Thresholds:
     minimum: float = 0.60
     winner_margin: float = 0.05
 
+    @classmethod
+    def spec_tiers(cls) -> "Thresholds":
+        """The spec-engine's recommended tiers (reference
+        internal/match/types.go:49-57 DefaultTiers) — pair these with
+        PipelineConfig(scorer='spec')."""
+        return cls(high=0.92, medium=0.88, review=0.80, minimum=0.70,
+                   winner_margin=0.03)
+
 
 def keep_best_per_uprn(pairs: DataFrame) -> DataFrame:
     """D7: several gazetteer variants / methods can produce the same

@@ -44,6 +44,17 @@ W = dict(trgm=0.50, jaro=0.40, locality=0.05, street=0.05, house=0.08,
          alpha=0.02, phonetic=0.03, spatial=0.05, live=0.02,
          nophon_penalty=0.03)
 
+# D2 spec-engine weights (reference: internal/match/types.go:61-89 +
+# scorer.go:52-139): 0.45 trigram + 0.45 embedding-cosine core, token
+# overlaps, boolean boosts, linear-decay spatial boost capped 0.10
+# (generator.go:428-441), -0.05 descriptor / -0.03 phonetic-miss
+# penalties. LegacyUPRNValid (+0.20) is intentionally absent: legacy
+# UPRNs match through the deterministic J1 path here, never through
+# pair scoring. Selected via PipelineConfig.scorer = "spec".
+W_SPEC = dict(trgm=0.45, embed=0.45, locality=0.05, street=0.05,
+              house=0.08, alpha=0.02, usrn=0.04, live=0.03,
+              descriptor=0.05, nophon=0.03, spatial_max=0.10)
+
 
 def attach_pair_attrs(cands: DataFrame, uaddr: DataFrame,
                       gazp: DataFrame) -> DataFrame:
@@ -255,10 +266,44 @@ def with_column_features(pairs: DataFrame) -> DataFrame:
                             F.lit(True))))
 
 
-def with_score(pairs: DataFrame) -> DataFrame:
-    """D1 weighted linear score, clamped to [0,1], then the conservative
+def _with_embed_cos(pairs: DataFrame, dim: int = 64) -> DataFrame:
+    """Pair embedding cosine in the reference's (dot+1)/2-in-[0,1]
+    convention (internal/engine/vector_db.go:171-193) for the D2 spec
+    scorer: reuse vec_sim where the vector generator supplied it,
+    hash-embed both canonical strings otherwise (the same deterministic
+    embedder the J9 path uses)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.embed import hash_embed_batch
+
+    @pandas_udf(DoubleType())
+    def _ecos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ea = hash_embed_batch(a, dim)
+        eb = hash_embed_batch(b, dim)
+        dot = (ea * eb).sum(axis=1)
+        return pd.Series(np.clip((dot + 1.0) / 2.0, 0.0, 1.0).astype(float))
+
+    have = (F.col("vec_sim") if "vec_sim" in pairs.columns
+            else F.lit(None).cast("double"))
+    return pairs.withColumn("embed_cos",
+                            F.coalesce(have, _ecos("d_core", "g_core")))
+
+
+def with_score(pairs: DataFrame, scorer: str = "fuzzy") -> DataFrame:
+    """Weighted linear score, clamped to [0,1], then the conservative
     house gate (D3/D4): both-present-and-different house numbers crush
-    the score x0.1 (engine_components_fixed.go:665-668 semantics)."""
+    the score x0.1 (engine_components_fixed.go:665-668 semantics).
+
+    scorer='fuzzy' (default) uses the production fuzzy-engine weights
+    W (D1, fuzzy.go:287-331); scorer='spec' uses the spec-engine
+    weights W_SPEC (D2, scorer.go:52-139) where embedding cosine is a
+    first-class 0.45-weight core term — the config switch lets users
+    A/B the two reference scorers. The exact-canonical floor, the
+    house-conflict crush and the strict validator (D3/D4) are separate
+    reference components and apply under both."""
+    if scorer == "spec":
+        return _with_score_spec(pairs)
     raw = (F.lit(W["trgm"]) * F.col("trgm")
            + F.lit(W["jaro"]) * F.col("jaro")
            + F.lit(W["locality"]) * F.col("locality_sim")
@@ -285,6 +330,12 @@ def with_score(pairs: DataFrame) -> DataFrame:
         score = F.when(F.col("vec_sim").isNotNull(),
                        F.greatest(score, F.least(combined, F.lit(1.0)))) \
                  .otherwise(score)
+    return _finalize_score(pairs, score)
+
+
+def _finalize_score(pairs: DataFrame, score) -> DataFrame:
+    """Shared D3/D4 tail for both scorers: house-conflict crush, the
+    exact-canonical 0.99 floor, the strict validator."""
     score = F.when(F.col("house_conflict"), score * F.lit(0.1)).otherwise(score)
     # exact-canonical candidates score 0.99 regardless of fuzz
     score = F.when(F.array_contains("methods", "exact_canonical"),
@@ -295,3 +346,39 @@ def with_score(pairs: DataFrame) -> DataFrame:
     return (pairs
             .withColumn("score", score)
             .withColumn("validator_ok", valid))
+
+
+def _with_score_spec(pairs: DataFrame) -> DataFrame:
+    """D2 spec-engine score (scorer.go:52-139): core similarities
+    (0.45 trigram + 0.45 embedding cosine), token overlaps, boolean
+    boosts (house / house-alpha / USRN / live), linear-decay spatial
+    boost capped at 0.10 over 2 km (generator.go:428-441), descriptor
+    and phonetic-miss penalties; clamped to [0,1]."""
+    pairs = _with_embed_cos(pairs)
+    for c, typ in (("usrn_match", "boolean"), ("dist_m", "double")):
+        if c not in pairs.columns:
+            pairs = pairs.withColumn(c, F.lit(None).cast(typ))
+    spatial = F.when(
+        F.col("dist_m").isNotNull(),
+        F.greatest(F.lit(0.0),
+                   F.lit(W_SPEC["spatial_max"]) *
+                   (F.lit(1.0) - F.col("dist_m") / F.lit(2000.0)))) \
+        .otherwise(F.lit(0.0))
+    raw = (F.lit(W_SPEC["trgm"]) * F.col("trgm")
+           + F.lit(W_SPEC["embed"]) * F.col("embed_cos")
+           + F.lit(W_SPEC["locality"]) * F.col("locality_sim")
+           + F.lit(W_SPEC["street"]) * F.col("street_sim")
+           + F.when(F.col("house_match") | F.col("house_exact"),
+                    F.lit(W_SPEC["house"])).otherwise(F.lit(0.0))
+           + F.when(F.col("house_exact"),
+                    F.lit(W_SPEC["alpha"])).otherwise(F.lit(0.0))
+           + F.when(F.coalesce(F.col("usrn_match"), F.lit(False)),
+                    F.lit(W_SPEC["usrn"])).otherwise(F.lit(0.0))
+           + F.when(F.col("live"), F.lit(W_SPEC["live"])).otherwise(F.lit(0.0))
+           + spatial
+           - F.when(F.col("d_vague"),
+                    F.lit(W_SPEC["descriptor"])).otherwise(F.lit(0.0))
+           - F.when(~F.col("phonetic_hit"),
+                    F.lit(W_SPEC["nophon"])).otherwise(F.lit(0.0)))
+    score = F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+    return _finalize_score(pairs, score)

@@ -35,6 +35,15 @@ from .sources.documents import span_fingerprint, with_raw_address
 @dataclass
 class PipelineConfig:
     thresholds: D.Thresholds = field(default_factory=D.Thresholds)
+    # 'fuzzy': production D1 weights (fuzzy.go). 'spec': D2 spec-engine
+    # weights (scorer.go:52-139, embedding cosine as a 0.45 core term)
+    # — pair with Thresholds.spec_tiers() for the reference's
+    # recommended tiers. Both share the D3/D4 validator tail.
+    scorer: str = "fuzzy"
+    # derive the accept threshold from deterministic pseudo-gold before
+    # deciding (reference threshold tuner,
+    # internal/engine/threshold_tuner.go:37-271)
+    auto_tune: bool = False
     spatial_radius_m: float = 100.0
     vector_top_k: int = 10
     vector_min_sim: float = 0.70
@@ -151,7 +160,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     pairs = S.with_column_features(pairs)
     pairs = S.prefilter_pairs(pairs)
     pairs = S.with_pair_features(pairs)
-    pairs = S.with_score(pairs)
+    pairs = S.with_score(pairs, scorer=cfg.scorer)
 
     # --- phase: decision on NARROW columns (the wide pair payload must
     #     not ride through the two window shuffles). d_core/g_core ride
@@ -159,7 +168,31 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     #     second attach join (round-2 re-executed the uaddr x gazp join
     #     just to fetch the strings).
     best = D.keep_best_per_uprn(D.narrow_for_decision(pairs))
-    decided_narrow = D.decide(best, cfg.thresholds, top_k=cfg.top_k_audit)
+    thresholds = cfg.thresholds
+    if cfg.auto_tune:
+        # A5/§5.4 tuner in the loop (reference threshold_tuner.go:
+        # 246-271): legacy-UPRN-validated docs are trusted pseudo-gold;
+        # sweep the accept threshold over the scored top-1 candidates
+        # and adopt the best-F1 threshold meeting the precision floor.
+        # `best` is checkpointed first so the probe decision pass and
+        # the real one share the materialized scored pairs instead of
+        # re-running candidate generation + the Arrow UDF twice.
+        from .operators.audit import tune_thresholds
+        best = best.localCheckpoint(eager=True)
+        gold = (C.legacy_uprn_matches(docs_n, gazp)
+                .join(docs_n.select("doc_id", "addr_can", "postcode"),
+                      "doc_id")
+                .select(F.sha2(F.concat_ws("|", "addr_can", "postcode"),
+                               256).alias("addr_id"), "uprn")
+                .distinct())
+        probe = D.decide(best, thresholds, top_k=1)
+        tuned = tune_thresholds(probe, gold)
+        tau = tuned["best"]["threshold"]
+        thresholds = D.Thresholds(
+            high=tau, medium=min(tau, thresholds.medium),
+            review=thresholds.review, minimum=thresholds.minimum,
+            winner_margin=thresholds.winner_margin)
+    decided_narrow = D.decide(best, thresholds, top_k=cfg.top_k_audit)
     decided = S.with_audit_levenshtein(decided_narrow) \
         .localCheckpoint(eager=True)
     acc = D.accepted(decided)
@@ -237,7 +270,17 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     metrics = (decided.groupBy("decision")
                .agg(F.count("*").alias("n"),
                     F.avg("score").alias("avg_score")))
+    out_extra = {}
+    if cfg.auto_tune:
+        out_extra["tuning"] = spark.createDataFrame(
+            [(float(o["threshold"]), int(o["tp"]), int(o["fp"]),
+              int(o["fn"]), float(o["precision"]), float(o["recall"]),
+              float(o["f1"])) for o in tuned["sweep"]],
+            "threshold double, tp long, fp long, fn long, "
+            "precision double, recall double, f1 double")
+        out_extra["thresholds_used"] = thresholds
     return {
+        **out_extra,
         "docs_normalized": docs_n,
         "unique_addresses": uaddr,
         "gazetteer_prepared": gazp,

@@ -120,7 +120,8 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     def _p4():
         pairs = S.attach_pair_attrs(cands, uaddr, gazp)
         pairs = S.prefilter_pairs(S.with_column_features(pairs))
-        pairs = S.with_score(S.with_pair_features(pairs))
+        pairs = S.with_score(S.with_pair_features(pairs),
+                             scorer=cfg.scorer)
         best = D.keep_best_per_uprn(D.narrow_for_decision(pairs))
         dec = D.decide(best, cfg.thresholds, cfg.top_k_audit)
         # d_core/g_core ride DECISION_COLS — no second attach join

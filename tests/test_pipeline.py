@@ -178,3 +178,55 @@ def test_vector_mode_ivf_pipeline(spark):
                .select(F.explode("methods").alias("m"))
                .select("m").distinct().toPandas().m.tolist())
     assert "vector" in methods
+
+
+def _prec_f1(out, gold):
+    m = out["matches"].select("doc_id", "uprn").toPandas().set_index("doc_id")
+    g = gold.set_index("doc_id")
+    j = g.join(m, how="left", rsuffix="_pred")
+    tp = int(((j.uprn_pred.notna()) & (j.uprn == j.uprn_pred)).sum())
+    fp = int(((j.uprn_pred.notna()) & (j.uprn != j.uprn_pred)).sum())
+    fn = int(((j.uprn.notna()) & (j.uprn_pred.isna())).sum())
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    return prec, 2 * prec * rec / max(prec + rec, 1e-9)
+
+
+def test_spec_scorer_f1_gate(spark):
+    """D2 spec-engine scorer (scorer.go:52-139 weights, embedding
+    cosine as a 0.45 core term) with the reference's recommended tiers
+    (types.go:49-57) must hold the same F1 gate as the production D1
+    scorer — the config switch lets users A/B the two reference
+    scorers."""
+    from ehdc_llpg_address_matching_spark.operators.decision import \
+        Thresholds
+    cfg = SynthConfig(seed=42, n_gazetteer=300, n_docs=450)
+    gaz, docs, gold = synth_tables(cfg)
+    out = run_pipeline(
+        spark, spark.createDataFrame(docs), spark.createDataFrame(gaz),
+        PipelineConfig(scorer="spec",
+                       thresholds=Thresholds.spec_tiers()))
+    prec, f1 = _prec_f1(out, gold)
+    assert prec >= 0.99, f"spec precision {prec:.4f}"
+    assert f1 >= 0.99, f"spec F1 {f1:.4f}"
+
+
+def test_auto_tune_thresholds_in_pipeline(spark):
+    """PipelineConfig.auto_tune derives the accept threshold from
+    legacy-UPRN pseudo-gold (reference threshold_tuner.go:246-271):
+    the tuning sweep is emitted, the chosen threshold comes from the
+    sweep grid, and quality holds."""
+    from ehdc_llpg_address_matching_spark.operators.audit import \
+        DEFAULT_SWEEP
+    cfg = SynthConfig(seed=13, n_gazetteer=250, n_docs=400,
+                      historic_frac=0.0)
+    gaz, docs, gold = synth_tables(cfg)
+    out = run_pipeline(
+        spark, spark.createDataFrame(docs), spark.createDataFrame(gaz),
+        PipelineConfig(auto_tune=True))
+    sweep = out["tuning"].toPandas()
+    assert len(sweep) == len(DEFAULT_SWEEP)
+    assert out["thresholds_used"].high in DEFAULT_SWEEP
+    prec, f1 = _prec_f1(out, gold)
+    assert prec >= 0.99, f"tuned precision {prec:.4f}"
+    assert f1 >= 0.99, f"tuned F1 {f1:.4f}"
