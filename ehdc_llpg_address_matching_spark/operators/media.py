@@ -1,11 +1,14 @@
 """Multimodal column operators: decode / feature-extract / resize /
 frame-sample over opaque binary or media_ref columns.
 
-The container has no image/audio libraries, so the DECODE step is
-stubbed (deterministic fake, clearly marked) — but the Spark-side
-plumbing is real and tested: schemas, partitioning, Arrow UDF
-signatures, batch shapes. A deployment swaps `_decode_fake` for a
-PIL/ffmpeg call without touching anything else.
+Pixel decode is REAL code behind an optional pillow import
+(`decode_image` / `with_pixel_stats`): where PIL is installed the
+operator decodes and measures actual pixels; in this pixel-less
+sandbox it emits px_ok=False rows (never fake pixels) and the
+NotImplementedError stub is reachable ONLY when PIL is absent. Header
+METADATA parsing (`parse_image_header`) is pure-python and real
+everywhere. The remaining deterministic stand-ins (`_decode_fake` for
+ref-only rows, the hash feature vector) are clearly marked.
 
 Media rides through the linkage pipeline untouched inside the spans
 array (the per-row invariant); these operators act on the exploded
@@ -23,6 +26,61 @@ from pyspark.sql import DataFrame, functions as F
 MEDIA_META_SCHEMA = ("width int, height int, n_channels int, "
                      "format string, ok boolean")
 FEATURE_DIM = 32
+
+try:  # real pixel decode when pillow is installed (deployment path)
+    from PIL import Image as _PILImage
+except ImportError:  # this sandbox ships no image libraries
+    _PILImage = None
+
+
+def decode_image(data) -> "np.ndarray | None":
+    """REAL pixel decode via PIL when installed: (h, w, 3) uint8 RGB
+    array, or None for undecodable bytes. Raises NotImplementedError
+    when PIL is absent — the ONLY remaining stub in the media path
+    (header METADATA parsing below is real either way)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "pixel decode requires pillow; header metadata via "
+            "parse_image_header works without it")
+    import io
+    try:
+        with _PILImage.open(io.BytesIO(bytes(data))) as im:
+            return np.asarray(im.convert("RGB"))
+    except Exception:
+        return None
+
+
+def with_pixel_stats(media: DataFrame,
+                     content_col: str = "content") -> DataFrame:
+    """Decode-bearing operator (the shape a training pipeline's
+    image-quality filter runs): per image, decoded width/height + mean
+    and std intensity via mapInPandas. Uses the real PIL decode when
+    available; without PIL it emits px_ok=False rows — never fake
+    pixels — so the Spark plumbing (schema, batching, partitioning)
+    stays testable in pixel-less environments."""
+    def run(it):
+        for pdf in it:
+            w, h, mean, std, ok = [], [], [], [], []
+            for d in pdf[content_col]:
+                arr = None
+                if _PILImage is not None and d is not None:
+                    arr = decode_image(d)
+                if arr is None:
+                    w.append(0); h.append(0)
+                    mean.append(0.0); std.append(0.0); ok.append(False)
+                else:
+                    h.append(int(arr.shape[0])); w.append(int(arr.shape[1]))
+                    mean.append(float(arr.mean()))
+                    std.append(float(arr.std())); ok.append(True)
+            out = pdf.reset_index(drop=True)
+            out["px_w"] = w; out["px_h"] = h
+            out["px_mean"] = mean; out["px_std"] = std; out["px_ok"] = ok
+            yield out
+
+    schema = (", ".join(f"{n} {t}" for n, t in media.dtypes) +
+              ", px_w int, px_h int, px_mean double, px_std double, "
+              "px_ok boolean")
+    return media.mapInPandas(run, schema=schema)
 
 
 def _decode_fake(ref: str) -> tuple[int, int, int, str]:

@@ -85,3 +85,45 @@ def test_media_spans_view(spark):
     rows = media_spans(df).orderBy("offset").collect()
     assert [(r["kind"], r["media_ref"]) for r in rows] == [
         ("image", "media://img/1.jpg"), ("pdf_page", "media://pdf/2.pdf")]
+
+
+def test_pixel_decode_with_pil(spark):
+    """Real pixel decode path — runs only where pillow is installed
+    (deployment); the sandbox exercises the no-PIL branch below."""
+    import pytest
+    from ehdc_llpg_address_matching_spark.operators import media as M
+    if M._PILImage is None:
+        pytest.skip("pillow not installed")
+    import io
+    im = M._PILImage.new("RGB", (5, 3), (10, 20, 30))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    arr = M.decode_image(buf.getvalue())
+    assert arr.shape == (3, 5, 3)
+
+
+def test_pixel_stats_without_pil(spark):
+    """Without pillow the decode-bearing operator must keep the Spark
+    plumbing intact and emit px_ok=False (never fake pixels); with
+    pillow, header-only fixture bytes are undecodable so px_ok is
+    False there too."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from ehdc_llpg_address_matching_spark.operators import media as M
+    refs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"],
+                      "media_ref": ["media://img/a.jpg",
+                                    "media://img/b.jpg"]}))
+    out = M.with_pixel_stats(
+        M.with_synth_image_bytes(refs), content_col="content").toPandas()
+    assert list(out.px_ok) == [False, False]
+    assert {"px_w", "px_h", "px_mean", "px_std"} <= set(out.columns)
+
+
+def test_decode_image_raises_without_pil():
+    import pytest
+    from ehdc_llpg_address_matching_spark.operators import media as M
+    if M._PILImage is not None:
+        pytest.skip("pillow installed — stub unreachable")
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
