@@ -236,15 +236,14 @@ def cand_component_joins(uaddr: DataFrame, gazp: DataFrame,
           first token + locality                  -> 'business_name'
       (e) full-postcode block (J8)                -> 'postcode_block'
     All blocking steps are equi-joins on parsed component columns; the
-    strict validator downstream enforces the house rule."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
+    strict validator downstream enforces the house rule. Trigram
+    verifies run in whole-stage codegen (trigram_sim_expr over hashed
+    gram arrays — identical values to the Python kernel)."""
+    from ..functions.similarity import trigram_grams_expr, trigram_sim_expr
 
-    from ..functions.similarity import trigram_sim_batch
-
-    @pandas_udf(DoubleType())
-    def _sim(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(trigram_sim_batch(x, y))
+    def _sim(x, y):
+        return trigram_sim_expr(trigram_grams_expr(F.col(x)),
+                                trigram_grams_expr(F.col(y)))
 
     nh = lambda c: F.regexp_replace(F.upper(F.coalesce(c, F.lit(""))),
                                     r"[^0-9A-Z]", "")
@@ -403,11 +402,8 @@ def cand_rule_rewrite(uaddr: DataFrame, gazp: DataFrame,
     sides, see gaz_hot_tokens), trigram sim >= min_sim, top-k per
     address, per-rule confidence +-adjusted by similarity.
     Returns (addr_id, uprn, method, method_conf)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
-
     from ..functions.normalize import STOP_TOKENS
-    from ..functions.similarity import trigram_sim_batch
+    from ..functions.similarity import trigram_grams_expr, trigram_sim_expr
 
     # first matching rule wins: one nested CASE expression, built
     # innermost-last so the FIRST rule is the outermost WHEN
@@ -444,17 +440,16 @@ def cand_rule_rewrite(uaddr: DataFrame, gazp: DataFrame,
             .agg(F.count("*").alias("_n_common"))
             .filter(F.col("_n_common") >= 2))
 
-    @pandas_udf(DoubleType())
-    def _sim(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(trigram_sim_batch(a, b))
-
     from pyspark.sql import Window
     w = Window.partitionBy("addr_id").orderBy(F.desc("sim"), F.asc("uprn"))
     adj = (F.when(F.col("sim") >= 0.90, F.col("base_conf") + 0.10)
            .when(F.col("sim") >= 0.80, F.col("base_conf") + 0.05)
            .otherwise(F.col("base_conf")))
     return (cand
-            .withColumn("sim", _sim("rw", "g_core"))
+            # JVM trigram verify (identical values to the Python kernel)
+            .withColumn("sim",
+                        trigram_sim_expr(trigram_grams_expr(F.col("rw")),
+                                         trigram_grams_expr(F.col("g_core"))))
             .filter(F.col("sim") >= min_sim)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= top_k)

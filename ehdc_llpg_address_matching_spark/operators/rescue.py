@@ -7,18 +7,16 @@ fanned out to every member with confidence banded by similarity
 (0.65 / 0.75 / 0.85 — reference banding at :1538-1543).
 
 Spark shape: groupBy max_by(addr, length) -> blocked join on the
-prepared gazetteer -> trigram similarity UDF -> top-1 window ->
+prepared gazetteer -> JVM trigram verify -> top-1 window ->
 join back to members. Runs on the (small) residue after the main
 cascade, so a broadcast join is fine at any corpus scale.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import DoubleType
 
-from ..functions.similarity import trigram_sim_batch
+from ..functions.similarity import trigram_grams_expr, trigram_sim_expr
 
 
 def group_fuzzy_rescue(docs_n: DataFrame, doc_matches: DataFrame,
@@ -30,8 +28,6 @@ def group_fuzzy_rescue(docs_n: DataFrame, doc_matches: DataFrame,
     df are dropped from the join key on both sides (candidates.
     gaz_hot_tokens) so one hot suffix token can't make the rescue join
     quadratic at a 10^8-row gazetteer."""
-    from pyspark.sql.functions import pandas_udf
-
     members = docs_n.filter(F.col(group_col).isNotNull()) \
         .select(group_col, "doc_id", "addr_core", "tokens")
     matched_groups = (members.join(doc_matches.select("doc_id"), "doc_id")
@@ -65,11 +61,11 @@ def group_fuzzy_rescue(docs_n: DataFrame, doc_matches: DataFrame,
             .filter(F.col("_n_common") >= 2)
             .select(group_col, "addr_core", "uprn", "g_core"))
 
-    @pandas_udf(DoubleType())
-    def _sim(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(trigram_sim_batch(a, b))
-
-    cand = cand.withColumn("sim", _sim("addr_core", "g_core"))
+    # trigram verify in whole-stage codegen (identical values to the
+    # Python kernel — functions/similarity.trigram_sim_expr)
+    cand = cand.withColumn(
+        "sim", trigram_sim_expr(trigram_grams_expr(F.col("addr_core")),
+                                trigram_grams_expr(F.col("g_core"))))
     w = Window.partitionBy(group_col).orderBy(F.desc("sim"), F.asc("uprn"))
     winner = (cand
               .withColumn("_rn", F.row_number().over(w))

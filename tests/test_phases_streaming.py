@@ -189,3 +189,21 @@ def test_stream_static_candidate_join(spark, tmp_path, corpus):
     missing = (doc_ids & matchable) - covered
     assert not missing, f"stream candidates missed {missing}"
     assert n_docs_with_cand > 0
+
+
+def test_phased_matches_monolithic_parity(spark, tmp_path, corpus):
+    """The phased runner and the monolithic run_pipeline must emit
+    IDENTICAL doc->uprn assignments, including on exact score ties —
+    round-4 fix: p5/p6's keep-best used max_by over (…, uprn) (max
+    uprn wins ties) while the monolithic precedence window picks the
+    MIN uprn; both now break ties toward the minimum uprn."""
+    from ehdc_llpg_address_matching_spark.pipeline import run_pipeline
+    docs, gaz, _ = corpus
+    wh = Warehouse(spark, str(tmp_path / "wh_parity"))
+    out_p = run_phased(spark, docs, gaz, wh, run_id="rp", cfg=CFG)
+    out_m = run_pipeline(spark, docs, gaz, CFG)
+    mp = {(r["doc_id"], r["uprn"])
+          for r in out_p["matches"].select("doc_id", "uprn").collect()}
+    mm = {(r["doc_id"], r["uprn"])
+          for r in out_m["matches"].select("doc_id", "uprn").collect()}
+    assert mp == mm
