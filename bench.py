@@ -91,7 +91,7 @@ def _synth_corpus(tmp: str) -> tuple[str, str]:
 
 
 def run_linkage(spark, docs_path: str, gaz_path: str,
-                n_runs: int = 2) -> dict:
+                n_runs: int = 3) -> dict:
     """Best-of-n full-pipeline runs (fresh plan each time, shuffles
     recompute). Single-run linkage occasionally hit a 3-5x
     stop-the-world outlier in this sandbox (one 164 s run against a
@@ -297,7 +297,11 @@ def run_scaling() -> dict:
         time.sleep(10)  # let the previous JVM's workers actually exit
         sp = _make_spark(n_cpu, f"bench-scale-{n_cpu}")
         try:
-            r = run_scoring_phase(sp, pairs_path, n_cpu, n_runs=3)
+            # n_runs=2: at local[2] each timed run is ~80 s, so the
+            # third run bought little (best-of already took the min)
+            # and cost ~6 min of total bench wall — kept the whole
+            # artifact inside any reasonable driver timeout
+            r = run_scoring_phase(sp, pairs_path, n_cpu, n_runs=2)
         finally:
             sp.stop()
         if (n_cpu not in runs or
