@@ -410,7 +410,8 @@ def q_near_dup_clusters(spark, sf):
     from ehdc_llpg_address_matching_spark.operators.dedup import \
         near_dup_clusters
     return near_dup_clusters(_t(spark, sf, "documents"),
-                             jaccard_threshold=0.5) \
+                             jaccard_threshold=0.5,
+                             candidates=_shared_lsh_candidates(spark, sf)) \
         .select("doc_id", "canonical_id", "is_duplicate")
 
 

@@ -353,7 +353,8 @@ def shingle_jaccard_verify_jvm(pairs: DataFrame, docs: DataFrame,
 
 def near_dup_clusters(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_k: int = 5,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      candidates: DataFrame | None = None) -> DataFrame:
     """The full corpus-dedup composite a training pipeline runs:
     minhash-LSH candidates -> exact shingle-Jaccard verify ->
     large-star/small-star connected components over the verified pairs
@@ -363,7 +364,7 @@ def near_dup_clusters(df: DataFrame, text_col: str = "text",
     from .cluster import connected_components
 
     pairs = minhash_near_dup(df, text_col, id_col, shingle_k,
-                             jaccard_threshold)
+                             jaccard_threshold, candidates=candidates)
     # CC picks the lexicographic-min node label as the component id;
     # zero-pad numeric ids so string order == numeric order
     id_type = dict(df.dtypes)[id_col]
