@@ -16,10 +16,20 @@ order-insensitive value hash is stable across engines.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _fix(name: str) -> str:
+    """Per-process fixture dir: two concurrent driver/bench processes
+    on one box must not clobber each other's fixture parquet between
+    the Spark write and the DuckDB oracle read (round-4 advice). The
+    pid token is shared by queries() and oracle_sql() within one
+    driver process — both sides resolve the same path."""
+    return f"/tmp/spark_graft_{name}_{os.getpid()}"
 
 EN_STOP_SQL = "('the','and','of','to','a','in','is','it','that','for','was','on','with','as','at','by','be','this')"
 
@@ -562,7 +572,7 @@ def q_linkage_deterministic(spark, sf):
     gaz_df, docs_df, _ = synth_spark_tables(
         spark, SynthConfig(seed=31, n_gazetteer=100, n_docs=150,
                            historic_frac=0.25))
-    fix = "/tmp/spark_graft_linkage_det"
+    fix = _fix("linkage_det")
     docs_df.select("doc_id", "raw_uprn").coalesce(1) \
         .write.mode("overwrite").parquet(f"{fix}/docs.parquet")
     gaz_df.select("uprn").coalesce(1) \
@@ -606,7 +616,7 @@ def q_linkage_exact(spark, sf):
     gazp = out["gazetteer_prepared"]
     docs_n = out["docs_normalized"]
 
-    fix = "/tmp/spark_graft_linkage_exact"
+    fix = _fix("linkage_exact")
     pc = lambda c: F.coalesce(F.col(c), F.lit("")).alias("postcode")
     uaddr.select("addr_can", pc("postcode"), "addr_core", "is_vague") \
         .coalesce(1).write.mode("overwrite").parquet(f"{fix}/ua.parquet")
@@ -718,7 +728,7 @@ def q_jaro_winkler(spark, sf):
 
 # ------------------------------------------- engine-path oracle fixture
 
-_ENGINE_FIX = "/tmp/spark_graft_engine_oracle"
+_ENGINE_FIX = _fix("engine_oracle")
 _engine_fix_built = False
 
 
@@ -869,6 +879,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """Fixture paths in the SQL below are written as stable literals
+    for readability; they are rewritten here to the per-process _fix()
+    paths the queries actually wrote (round-4 advice: concurrent
+    driver/bench processes must not share fixture dirs)."""
+    reps = {
+        "/tmp/spark_graft_engine_oracle": _ENGINE_FIX,
+        "/tmp/spark_graft_linkage_det": _fix("linkage_det"),
+        "/tmp/spark_graft_linkage_exact": _fix("linkage_exact"),
+        "/tmp/spark_graft_linkage_rules": _fix("linkage_rules"),
+        "/tmp/spark_graft_linkage_phased": _fix("linkage_phased"),
+    }
+    out = {}
+    for k, v in _oracle_sql_raw().items():
+        for lit, real in reps.items():
+            v = v.replace(lit, real)
+        out[k] = v
+    return out
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "j5_hier_engine": r"""
             WITH d AS (

@@ -51,7 +51,15 @@ def tune_thresholds(decided: DataFrame, pseudo_gold: DataFrame,
     pseudo_gold: (addr_id, uprn) trusted labels. Returns
     {'sweep': [{threshold, tp, fp, fn, precision, recall, f1}...],
      'best': {...}} — best F1 with precision >= min_precision.
-    One Spark aggregation for the entire sweep."""
+    One Spark aggregation for the entire sweep.
+
+    Approximation: tp/fp count rank-1 rows purely by score >= t,
+    ignoring decide()'s margin / validator / vague / house gates, so
+    the sweep's precision-recall curve slightly overstates what the
+    pipeline accepts at the adopted threshold. That bias is shared by
+    every sweep point (the gates are threshold-independent), so the
+    argmax is stable; the adopted tau is then applied through the full
+    gate ladder, never raw."""
     sweep = sweep or DEFAULT_SWEEP
     top1 = decided.filter(F.col("rank") == 1) \
         .select("addr_id", F.col("uprn").alias("pred_uprn"), "score")

@@ -188,9 +188,17 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         probe = D.decide(best, thresholds, top_k=1)
         tuned = tune_thresholds(probe, gold)
         tau = tuned["best"]["threshold"]
+        # clamp the WHOLE ladder so the band order stays
+        # high >= medium >= review >= minimum after adoption: decide()
+        # rejects score < minimum first, so a tau below the default
+        # floor (DEFAULT_SWEEP reaches 0.50) would otherwise be
+        # silently floored and thresholds_used would misreport the
+        # actual accept behavior (round-4 advice)
+        medium = min(tau, thresholds.medium)
         thresholds = D.Thresholds(
-            high=tau, medium=min(tau, thresholds.medium),
-            review=thresholds.review, minimum=thresholds.minimum,
+            high=tau, medium=medium,
+            review=min(thresholds.review, medium),
+            minimum=min(thresholds.minimum, tau),
             winner_margin=thresholds.winner_margin)
     decided_narrow = D.decide(best, thresholds, top_k=cfg.top_k_audit)
     decided = S.with_audit_levenshtein(decided_narrow) \
@@ -250,13 +258,17 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     # consensus/rescue only touch previously-unmatched docs, but keep a
     # deterministic one-row-per-doc guarantee regardless
     # min_by with negated confidence/score: ties break toward the MIN
-    # uprn, matching the doc_matches window above and phases.py p5/p6
+    # uprn, matching the doc_matches window above and phases.py p5/p6.
+    # confidence/score coalesced to 0.0 inside the ordering struct —
+    # struct NULLs sort smallest, so a NULL-scored row from an
+    # allowMissingColumns union would otherwise win keep-best.
     matches = (matches
                .groupBy("doc_id")
                .agg(F.min_by(
                    F.struct("uprn", "method", "score", "confidence"),
-                   F.struct((-F.col("confidence")).alias("_c"),
-                            (-F.col("score")).alias("_s"),
+                   F.struct((-F.coalesce("confidence",
+                                         F.lit(0.0))).alias("_c"),
+                            (-F.coalesce("score", F.lit(0.0))).alias("_s"),
                             F.col("uprn").alias("_u"))).alias("_m"))
                .select("doc_id", "_m.*"))
     clusters = canonical_uprn_per_cluster(comps, doc_matches)

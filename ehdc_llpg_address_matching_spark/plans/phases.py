@@ -111,6 +111,12 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         if cfg.enable_vector and "embedding" in gazp.columns:
             gens.append(C.cand_vector(uaddr, gazp, 0, cfg.vector_top_k,
                                       cfg.vector_min_sim))
+        # J5 hierarchical cascade LAST, mirroring pipeline.py: a doc
+        # matchable ONLY via the phonetic/locality levels (no postcode,
+        # trigram-block-defeating typo) must match identically under
+        # both runners (round-4 verdict: the phased runner silently
+        # omitted this generator).
+        gens.append(C.cand_hierarchical(uaddr, gazp))
         return C.union_candidates(*gens)
 
     p3 = phase("p3_candidates", _p3, {"candidates": lambda c: c})
@@ -163,12 +169,18 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         # window (asc(_prio), desc(conf), desc(score), asc(uprn))
         # implements; max_by over (…, uprn) silently preferred the MAX
         # uprn on ties, breaking phased-vs-monolithic parity
+        # confidence/score coalesced to 0.0 INSIDE the ordering struct:
+        # struct comparison treats NULL as smallest, so a NULL-scored
+        # row (possible via allowMissingColumns unions) would otherwise
+        # sort first under the negated keys and WIN keep-best
         dm = (both.groupBy("doc_id")
               .agg(F.min_by(F.struct("uprn", "method", "score",
                                      "confidence"),
                             F.struct((-F.col("_det")).alias("_d"),
-                                     (-F.col("confidence")).alias("_c"),
-                                     (-F.col("score")).alias("_s"),
+                                     (-F.coalesce("confidence",
+                                                  F.lit(0.0))).alias("_c"),
+                                     (-F.coalesce("score",
+                                                  F.lit(0.0))).alias("_s"),
                                      F.col("uprn").alias("_u")))
                    .alias("_m"))
               .select("doc_id", "_m.*"))
@@ -197,8 +209,11 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         matches = (matches.groupBy("doc_id")
                    .agg(F.min_by(F.struct("uprn", "method", "score",
                                           "confidence"),
-                                 F.struct((-F.col("confidence")).alias("_c"),
-                                          (-F.col("score")).alias("_s"),
+                                 F.struct((-F.coalesce(
+                                     "confidence", F.lit(0.0))).alias("_c"),
+                                          (-F.coalesce(
+                                              "score",
+                                              F.lit(0.0))).alias("_s"),
                                           F.col("uprn").alias("_u")))
                         .alias("_m"))
                    .select("doc_id", "_m.*"))

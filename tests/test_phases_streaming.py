@@ -196,9 +196,35 @@ def test_phased_matches_monolithic_parity(spark, tmp_path, corpus):
     IDENTICAL doc->uprn assignments, including on exact score ties —
     round-4 fix: p5/p6's keep-best used max_by over (…, uprn) (max
     uprn wins ties) while the monolithic precedence window picks the
-    MIN uprn; both now break ties toward the minimum uprn."""
+    MIN uprn; both now break ties toward the minimum uprn.
+
+    The corpus is augmented with a HIERARCHICAL-ONLY matchable doc
+    (round-5 fix: the phased runner's p3 omitted cand_hierarchical and
+    this parity test never noticed, because no fixture doc needed the
+    cascade). 'DHIER01' = '5 ZENNOR RISE': no postcode (defeats
+    pc_sector blocking, comp_pc_house, postcode_block and hier l1), no
+    locality (its phon_loc key 'SNR|' differs from the gazetteer's
+    'SNR|ROPL', defeating the trigram block), tok_prefix
+    'RISE_ZENNOR' vs gazetteer 'RISE_ROPLEY' (defeats the token
+    block), and the gazetteer twin carries a locality so
+    exact-canonical misses too — verified empirically: the union of
+    all non-hier generators yields ZERO candidates for this address,
+    while the J5 cascade matches it at street+house level (0.90)."""
     from ehdc_llpg_address_matching_spark.pipeline import run_pipeline
+    from ehdc_llpg_address_matching_spark.synth import (DOCS_SPARK_SCHEMA,
+                                                        GAZ_SPARK_SCHEMA)
     docs, gaz, _ = corpus
+    hier_doc = [("DHIER01",
+                 [{"kind": "text", "text": "5 ZENNOR RISE",
+                   "media_ref": None, "offset": 0}],
+                 None, None, None, "APP/HIER/00001")]
+    hier_gaz = [("999000001", "5 ZENNOR RISE ROPLEY GU99 9ZZ", "5",
+                 "ZENNOR RISE", "ROPLEY", "GU99 9ZZ", None, "RD",
+                 "1", True, None, None, None)]
+    docs = docs.unionByName(spark.createDataFrame(hier_doc,
+                                                  DOCS_SPARK_SCHEMA))
+    gaz = gaz.unionByName(spark.createDataFrame(hier_gaz,
+                                                GAZ_SPARK_SCHEMA))
     wh = Warehouse(spark, str(tmp_path / "wh_parity"))
     out_p = run_phased(spark, docs, gaz, wh, run_id="rp", cfg=CFG)
     out_m = run_pipeline(spark, docs, gaz, CFG)
@@ -206,4 +232,9 @@ def test_phased_matches_monolithic_parity(spark, tmp_path, corpus):
           for r in out_p["matches"].select("doc_id", "uprn").collect()}
     mm = {(r["doc_id"], r["uprn"])
           for r in out_m["matches"].select("doc_id", "uprn").collect()}
+    # the hierarchical-only doc must be matched by BOTH runners — a
+    # phased runner without cand_hierarchical fails here, not just on
+    # set equality
+    assert ("DHIER01", "999000001") in mm
+    assert ("DHIER01", "999000001") in mp
     assert mp == mm
