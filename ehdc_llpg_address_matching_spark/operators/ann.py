@@ -210,12 +210,22 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                         F.col(vec_col).alias(f"{prefix}_vec"),
                         F.posexplode("_b").alias("table", "bucket")))
 
-    qk = keyed(queries, "q")
-    ck = keyed(corpus, "c")
+    # ids ONLY through the bucket join and the dedupe: embedding
+    # payloads (dim x 8 bytes, duplicated once per table and again per
+    # bucket collision) must not ride either shuffle — at 384 dims
+    # that cut the dedupe shuffle ~100x. Vectors are re-attached by
+    # equi-join on the surviving (q_id, c_id) pairs, each exactly once.
+    qk = keyed(queries, "q").drop("q_vec")
+    ck = keyed(corpus, "c").drop("c_vec")
     cand = qk.join(ck, ["table", "bucket"])
     if exclude_self:
         cand = cand.filter(F.col("q_id") != F.col("c_id"))
-    cand = cand.select("q_id", "c_id", "q_vec", "c_vec").distinct()
+    cand = cand.select("q_id", "c_id").distinct()
+    cand = (cand
+            .join(queries.select(F.col(id_col).alias("q_id"),
+                                 F.col(vec_col).alias("q_vec")), "q_id")
+            .join(corpus.select(F.col(id_col).alias("c_id"),
+                                F.col(vec_col).alias("c_vec")), "c_id"))
     dot = F.aggregate(F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, v: acc + v)
     qn = F.sqrt(F.aggregate(F.transform("q_vec", lambda a: a * a),

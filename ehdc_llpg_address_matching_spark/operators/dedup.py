@@ -241,10 +241,13 @@ def minhash_near_dup(df: DataFrame, text_col: str = "text",
                                              num_hashes=num_hashes,
                                              bands=bands,
                                              shingle_k=shingle_k)
-    return ngram_jaccard_verify(candidates.select("id_a", "id_b"), df,
-                                text_col=text_col, id_col=id_col,
-                                shingle_k=shingle_k,
-                                threshold=jaccard_threshold)
+    # JVM verify (identical numbers to ngram_jaccard_verify, which is
+    # now only a test oracle): shingle arrays computed once per DOC,
+    # pure-codegen set algebra per pair — no pair crosses into Python
+    return shingle_jaccard_verify_jvm(candidates.select("id_a", "id_b"),
+                                      df, text_col=text_col,
+                                      id_col=id_col, shingle_k=shingle_k,
+                                      threshold=jaccard_threshold)
 
 
 def simhash_near_dup(df: DataFrame, text_col: str = "text",
@@ -386,8 +389,12 @@ def ngram_jaccard_verify(pairs: DataFrame, docs: DataFrame,
                          text_col: str = "text", id_col: str = "doc_id",
                          shingle_k: int = 5,
                          threshold: float = 0.7) -> DataFrame:
-    """Exact shingle-Jaccard on candidate pairs (the verify stage after
-    LSH). Arrow UDF, per-batch shingle-set cache."""
+    """Exact shingle-Jaccard on candidate pairs — per-pair Arrow UDF.
+
+    TEST ORACLE ONLY: every production path routes through
+    shingle_jaccard_verify_jvm (identical numbers, shingles computed
+    once per doc, codegen set ops); this independent implementation
+    exists so tests can assert the two agree."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 

@@ -57,6 +57,15 @@ def test_ngram_jaccard_verify(spark, corpus):
     got = dict(zip(zip(out.id_a, out.id_b), out.jaccard))
     assert got[("d1", "d2")] == 1.0
     assert ("d1", "d4") not in got
+    # the Python verifier is the TEST ORACLE for the production JVM
+    # verify (all hot paths route through shingle_jaccard_verify_jvm):
+    # the two must agree pair-for-pair, value-for-value
+    jvm = dedup.shingle_jaccard_verify_jvm(cand, corpus,
+                                           threshold=0.3).toPandas()
+    got_jvm = dict(zip(zip(jvm.id_a, jvm.id_b), jvm.jaccard))
+    assert set(got) == set(got_jvm)
+    for k, v in got.items():
+        assert abs(v - got_jvm[k]) < 1e-12
 
 
 @pytest.fixture(scope="module")
