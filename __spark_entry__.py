@@ -166,28 +166,36 @@ def q_j10_range_expand(spark, sf):
 
 def q_j6_grid_pairs(spark, sf):
     """J6 spatial proximity as grid-cell blocking: pairs of events with
-    |value diff| <= 1.0, counted. Cell = floor(value); the exploded
-    side fans out to d in {0, +1} ONLY — d = -1 is redundant under the
-    pair canonicalization: a within-cell pair meets once via d = 0
-    (dedup'd by id_a < id_b), and an adjacent-cell pair meets exactly
-    once via the LOWER-cell element's d = +1 row (no id filter needed:
-    cells differ, so no self-pairs and no double-counting). This cuts
-    the same-cell join volume — the cost driver on dense 1-D data —
-    by a third vs the 3-neighbor explode, with an identical count."""
+    |value diff| <= 1.0, counted. Cell = floor(value). Two-part count:
+
+    (1) SAME-cell pairs need no distance evaluation at all — the cell
+    width equals the 1.0 threshold, so two values in [p, p+1) differ
+    by < 1.0 in the reals, and IEEE subtraction of a real diff < 1.0
+    cannot round past 1.0, so the <= 1.0 predicate holds identically
+    under DuckDB's own arithmetic. Counted as C(m,2) per cell from a
+    groupBy — this kills the m^2-per-cell join volume that was the
+    entry's cost driver on the dense 1-D fixture (~half of all pair
+    evaluations at 18 s wall in BENCH_r04).
+
+    (2) CROSS-cell pairs (lower cell -> cell+1, met exactly once, no
+    id filter needed: cells differ so no self-pairs) keep the join
+    with the bitwise-identical abs() <= 1.0 check the oracle runs.
+    Pairs two or more cells apart are outside the candidate universe
+    of both this and the previous explode formulation (real diff >
+    1.0)."""
     e = _t(spark, sf, "events").select("event_id", "value")
-    a = (e.withColumn("d", F.explode(F.array(F.lit(0), F.lit(1))))
-         .select(F.col("event_id").alias("id_a"),
-                 F.col("value").alias("v_a"),
-                 (F.floor("value") + F.col("d")).alias("cell"), "d"))
-    b = e.select(F.col("event_id").alias("id_b"),
-                 F.col("value").alias("v_b"),
+    same = (e.groupBy(F.floor("value").alias("cell"))
+            .agg(F.count("*").alias("m"))
+            .agg(F.sum(F.expr("m * (m - 1) DIV 2")).alias("n")))
+    a = e.select(F.col("value").alias("v_a"),
+                 (F.floor("value") + 1).alias("cell"))
+    b = e.select(F.col("value").alias("v_b"),
                  F.floor("value").alias("cell"))
-    pairs = (a.join(b, "cell")
-             .filter((((F.col("d") == 0) & (F.col("id_a") < F.col("id_b")))
-                      | (F.col("d") == 1)) &
-                     (F.abs(F.col("v_a") - F.col("v_b")) <= 1.0))
-             .select("id_a", "id_b"))
-    return pairs.agg(F.count("*").alias("n_pairs"))
+    adj = (a.join(b, "cell")
+           .filter(F.abs(F.col("v_a") - F.col("v_b")) <= 1.0)
+           .agg(F.count("*").alias("n")))
+    return (same.unionByName(adj)
+            .agg(F.sum("n").cast("long").alias("n_pairs")))
 
 
 def q_g1_coalesce_overlay(spark, sf):
@@ -586,6 +594,40 @@ def q_linkage_deterministic(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_linkage_phased(spark, sf):
+    """The PHASED (resumable, warehouse-snapshot) runner on the same
+    corpus as linkage_deterministic, oracle-checked on the same
+    deterministic slice — so phased-vs-monolithic parity is
+    driver-verified, not only pytest-verified (round-4 verdict: the
+    phased runner silently omitted the hierarchical generator and only
+    a fixture-dependent pytest stood between that and production).
+    The oracle re-derives every legacy/historic UPRN match from
+    (raw_uprn, gazetteer uprns) alone; the returned rows come from the
+    PHASED runner's matches, so a phase that drops, reassigns or
+    re-scores any deterministic match hash-mismatches."""
+    from ehdc_llpg_address_matching_spark.pipeline import PipelineConfig
+    from ehdc_llpg_address_matching_spark.plans.phases import run_phased
+    from ehdc_llpg_address_matching_spark.sources.catalog import Warehouse
+    from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
+                                                        synth_spark_tables)
+    gaz_df, docs_df, _ = synth_spark_tables(
+        spark, SynthConfig(seed=31, n_gazetteer=100, n_docs=150,
+                           historic_frac=0.25))
+    fix = _fix("linkage_phased")
+    docs_df.select("doc_id", "raw_uprn").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{fix}/docs.parquet")
+    gaz_df.select("uprn").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{fix}/gaz.parquet")
+    wh = Warehouse(spark, f"{fix}/wh")
+    out = run_phased(spark, docs_df, gaz_df, wh, run_id="oracle",
+                     cfg=PipelineConfig(enable_vector=False), force=True)
+    return (out["matches"]
+            .filter(F.col("method").isin("legacy_uprn", "historic_uprn"))
+            .select("doc_id", "uprn", "method",
+                    F.round("confidence", 4).alias("confidence"))
+            .orderBy("doc_id"))
+
+
 def q_linkage_exact(spark, sf):
     """The flagship pipeline's EXACT-CANONICAL slice, oracle-checked
     end-to-end (reference: internal/engine/deterministic.go:146-178 —
@@ -662,6 +704,90 @@ def q_linkage_exact(spark, sf):
                     .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
                           "left_anti").select("doc_id")))
     slice_docs = (dz.join(win, ["addr_can", "postcode"], "left_semi")
+                  .join(det_docs, "doc_id", "left_anti")
+                  .select("doc_id"))
+    return (out["matches"]
+            .join(slice_docs, "doc_id", "left_semi")
+            .select("doc_id", "uprn")
+            .orderBy("doc_id"))
+
+
+def q_linkage_rules(spark, sf):
+    """The flagship pipeline's RULE-REWRITE (J7) slice, oracle-checked
+    end-to-end — extends the linkage_exact pattern into the fuzzy
+    share (reference: internal/engine/rule_matcher.go:209-382). A
+    descriptor-heavy synth corpus runs through the REAL run_pipeline;
+    the engine-prepared unique addresses / gazetteer / doc mapping are
+    persisted as fixture parquet, and the DuckDB oracle re-derives the
+    expected rule winners from them alone: the full first-match
+    rewrite CASE chain, rare-token blocking (>=2 shared tokens),
+    trigram sim, sim-adjusted confidence and top-k — the same mirror
+    j7_rule_engine proves against the operator — then keeps only
+    UNAMBIGUOUS winners (rank-1 at sim >= 0.90 with exactly one
+    distinct uprn at that level), on addresses with no exact-core hit
+    and docs outside the legacy/historic deterministic slice. The
+    Spark side mirrors that derivation ONLY to select which doc_ids
+    are in the slice — the returned uprn comes from the PIPELINE's
+    matches, so a pipeline that drops or reassigns any
+    rule-determined doc (through scoring, decision, precedence,
+    consensus or rescue) row- or hash-mismatches."""
+    from ehdc_llpg_address_matching_spark.operators.candidates import \
+        cand_rule_rewrite
+    from ehdc_llpg_address_matching_spark.pipeline import (PipelineConfig,
+                                                           run_pipeline)
+    from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
+                                                        synth_spark_tables)
+    gaz_df, docs_df, _ = synth_spark_tables(
+        spark, SynthConfig(seed=53, n_gazetteer=150, n_docs=250,
+                           historic_frac=0.10, rule_special_frac=0.30))
+    out = run_pipeline(spark, docs_df, gaz_df,
+                       PipelineConfig(enable_vector=False))
+    uaddr = out["unique_addresses"]
+    gazp = out["gazetteer_prepared"]
+    docs_n = out["docs_normalized"]
+
+    fix = _fix("linkage_rules")
+    pc = lambda c: F.coalesce(F.col(c), F.lit("")).alias("postcode")
+    uaddr.select("addr_id", "addr_can", pc("postcode"), "addr_core") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{fix}/ua.parquet")
+    gazp.select("uprn", F.col("addr_core").alias("g_core"), "tokens",
+                "source_type") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{fix}/gaz.parquet")
+    docs_n.select("doc_id", "addr_can", pc("postcode"), "uprn_clean") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{fix}/docs.parquet")
+
+    ua = spark.read.parquet(f"{fix}/ua.parquet")
+    gz = spark.read.parquet(f"{fix}/gaz.parquet")
+    dz = spark.read.parquet(f"{fix}/docs.parquet")
+
+    # membership mirror (same derivation the oracle runs in SQL):
+    # the ENGINE operator itself computes the rule candidates — the
+    # j7_rule_engine entry proves it equals the SQL mirror — and the
+    # slice keeps rank-1 winners at sim >= 0.90 whose uprn is the
+    # ONLY one at that level (no 0.90+ twin to outscore it)
+    rc = cand_rule_rewrite(ua, gz.select("uprn", F.col("g_core")
+                                         .alias("addr_core"), "tokens"),
+                           keep_sim=True)
+    strong = rc.filter(F.col("sim") >= 0.90)
+    uniq = (strong.groupBy("addr_id")
+            .agg(F.count_distinct("uprn").alias("_n"),
+                 F.min("uprn").alias("exp_uprn"))
+            .filter(F.col("_n") == 1))
+    no_exact = ua.join(gz, ua.addr_core == gz.g_core, "left_anti") \
+        .select("addr_id", "addr_can", "postcode")
+    gaz_uprns = gz.filter(F.col("source_type") == "original") \
+        .select("uprn").distinct()
+    det_docs = (dz.filter(F.col("uprn_clean").isNotNull())
+                .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
+                      "left_semi")
+                .select("doc_id")
+                .unionByName(
+                    dz.filter(F.col("uprn_clean").isNotNull() &
+                              F.length("uprn_clean").between(6, 12))
+                    .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
+                          "left_anti").select("doc_id")))
+    slice_docs = (dz.join(no_exact.join(uniq, "addr_id", "left_semi"),
+                          ["addr_can", "postcode"], "left_semi")
                   .join(det_docs, "doc_id", "left_anti")
                   .select("doc_id"))
     return (out["matches"]
@@ -867,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler": q_jaro_winkler,
         "linkage_deterministic": q_linkage_deterministic,
         "linkage_exact": q_linkage_exact,
+        "linkage_rules": q_linkage_rules,
+        "linkage_phased": q_linkage_phased,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -895,6 +1023,11 @@ def oracle_sql() -> dict[str, str]:
         for lit, real in reps.items():
             v = v.replace(lit, real)
         out[k] = v
+    # the phased runner is held to the SAME deterministic-slice oracle
+    # as the monolithic pipeline, just over its own fixture dir — the
+    # derivation is identical by construction
+    out["linkage_phased"] = out["linkage_deterministic"].replace(
+        _fix("linkage_det"), _fix("linkage_phased"))
     return out
 
 
@@ -1143,6 +1276,150 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM d JOIN win w USING (addr_can, postcode)
             WHERE w.exp_uprn IS NOT NULL
               AND d.doc_id NOT IN (SELECT doc_id FROM det)""",
+        # full J7 mirror (rewrite CASE chain / rare-token blocking /
+        # trigram sim — the same SQL j7_rule_engine proves against the
+        # operator) over the PIPELINE's persisted fixtures, then the
+        # unambiguous-winner slice: rank-1 at sim >= 0.90 with exactly
+        # one distinct uprn at that level, no exact-core hit, outside
+        # the legacy/historic deterministic slice
+        "linkage_rules": r"""
+            WITH ua AS (
+              SELECT addr_id, addr_can, postcode, addr_core
+              FROM read_parquet(
+                '/tmp/spark_graft_linkage_rules/ua.parquet/*.parquet')),
+            gaz AS (
+              SELECT uprn, g_core, tokens, source_type
+              FROM read_parquet(
+                '/tmp/spark_graft_linkage_rules/gaz.parquet/*.parquet')),
+            d AS (
+              SELECT doc_id, addr_can, postcode, uprn_clean
+              FROM read_parquet(
+                '/tmp/spark_graft_linkage_rules/docs.parquet/*.parquet')),
+            rw0 AS (
+              SELECT addr_id, addr_can,
+                CASE
+                  WHEN regexp_matches(addr_can, 'LUCKY LITE FARM.*') THEN
+                    {r: 'lucky_lite_farm', c: CAST(0.95 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'LUCKY LITE FARM.*',
+                        'LUCKYLITE FARM CATHERINGTON LANE HORNDEAN', 'g')}
+                  WHEN regexp_matches(addr_can, 'LASHAM AIRFIELD.*') THEN
+                    {r: 'lasham_airfield', c: CAST(0.90 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'LASHAM AIRFIELD.*',
+                        'LASHAM AERODROME LASHAM', 'g')}
+                  WHEN regexp_matches(addr_can, 'FOUR MARKS') THEN
+                    {r: 'four_marks_spacing', c: CAST(0.85 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'FOUR MARKS',
+                        'FOURMARKS', 'g')}
+                  WHEN regexp_matches(addr_can, '(?:CO-OP|COOP|CO OP)') THEN
+                    {r: 'co_op_variations', c: CAST(0.80 AS DOUBLE),
+                     w: regexp_replace(addr_can, '(?:CO-OP|COOP|CO OP)',
+                        'COOPERATIVE', 'g')}
+                  WHEN regexp_matches(addr_can, 'FORMER SITE OF (.+)') THEN
+                    {r: 'former_site_prefix', c: CAST(0.75 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'FORMER SITE OF (.+)',
+                        '\1', 'g')}
+                  WHEN regexp_matches(addr_can, 'LAND AT (.+)') THEN
+                    {r: 'land_at_prefix', c: CAST(0.70 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'LAND AT (.+)', '\1', 'g')}
+                  WHEN regexp_matches(addr_can,
+                                      'REAR OF (\d+[A-Z]?\s.+)') THEN
+                    {r: 'rear_of_references', c: CAST(0.65 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'REAR OF (\d+[A-Z]?\s.+)',
+                        '\1A', 'g')}
+                  WHEN regexp_matches(addr_can, 'ADJ(?:ACENT)? TO (.+)') THEN
+                    {r: 'adjacent_to', c: CAST(0.60 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'ADJ(?:ACENT)? TO (.+)',
+                        '\1', 'g')}
+                  WHEN regexp_matches(addr_can, 'OPP(?:OSITE)? (.+)') THEN
+                    {r: 'opposite_references', c: CAST(0.60 AS DOUBLE),
+                     w: regexp_replace(addr_can, 'OPP(?:OSITE)? (.+)',
+                        '\1', 'g')}
+                  WHEN regexp_matches(addr_can, '\b[NSEW]\b') THEN
+                    {r: 'compass_expansion', c: CAST(0.75 AS DOUBLE),
+                     w: regexp_replace(regexp_replace(regexp_replace(
+                          regexp_replace(addr_can, '\bN\b', 'NORTH', 'g'),
+                          '\bS\b', 'SOUTH', 'g'), '\bE\b', 'EAST', 'g'),
+                          '\bW\b', 'WEST', 'g')}
+                END AS r0
+              FROM ua),
+            rw AS (
+              SELECT addr_id,
+                     trim(regexp_replace(r0['w'], '\s+', ' ', 'g')) AS rw
+              FROM rw0
+              WHERE r0 IS NOT NULL
+                AND trim(regexp_replace(r0['w'], '\s+', ' ', 'g'))
+                    <> addr_can),
+            hot AS (
+              SELECT tok FROM (
+                SELECT unnest(list_distinct(tokens)) AS tok FROM gaz)
+              GROUP BY tok HAVING COUNT(*) > 10000),
+            d_tok AS (
+              SELECT addr_id, rw, unnest(tok) AS tok
+              FROM (SELECT *,
+                      list_distinct(list_filter(string_split(rw, ' '),
+                        t -> length(t) >= 2 AND NOT list_contains(
+                          ['THE','OF','AND','AT','TO','NEAR','OPPOSITE',
+                           'ADJACENT','OPP','ADJ','NR'], t))) AS tok
+                    FROM rw)),
+            d_tok_r AS (
+              SELECT * FROM d_tok
+              WHERE tok NOT IN (SELECT tok FROM hot)),
+            g_tok AS (
+              SELECT uprn, g_core, unnest(list_distinct(tokens)) AS tok
+              FROM gaz),
+            g_tok_r AS (
+              SELECT * FROM g_tok
+              WHERE tok NOT IN (SELECT tok FROM hot)),
+            cand AS (
+              SELECT addr_id, rw, uprn, g_core
+              FROM d_tok_r a JOIN g_tok_r b USING (tok)
+              GROUP BY ALL HAVING COUNT(*) >= 2),
+            strs AS (
+              SELECT rw AS s FROM cand
+              UNION SELECT g_core FROM cand),
+            grams AS (
+              SELECT s, list_distinct(flatten(list_transform(
+                       list_filter(string_split(s, ' '), w -> w <> ''),
+                       w -> list_transform(
+                         range(1, length('  ' || w || ' ') - 1),
+                         i -> substr('  ' || w || ' ',
+                                     CAST(i AS INT), 3))))) AS gset
+              FROM strs),
+            sims AS (
+              SELECT c.*,
+                CASE WHEN len(ga.gset) = 0 OR len(gb.gset) = 0 THEN 0.0
+                     ELSE len(list_intersect(ga.gset, gb.gset)) * 1.0 /
+                          (len(ga.gset) + len(gb.gset)
+                           - len(list_intersect(ga.gset, gb.gset)))
+                END AS sim
+              FROM cand c JOIN grams ga ON ga.s = c.rw
+                          JOIN grams gb ON gb.s = c.g_core),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY addr_id
+                          ORDER BY sim DESC, uprn) AS rn
+              FROM sims WHERE sim >= 0.70),
+            uniq AS (
+              SELECT addr_id, MIN(uprn) AS exp_uprn
+              FROM ranked WHERE rn <= 5 AND sim >= 0.90
+              GROUP BY addr_id HAVING COUNT(DISTINCT uprn) = 1),
+            no_exact AS (
+              SELECT ua.addr_id, ua.addr_can, ua.postcode FROM ua
+              WHERE NOT EXISTS (SELECT 1 FROM gaz g
+                                WHERE g.g_core = ua.addr_core)),
+            gaz_uprns AS (
+              SELECT DISTINCT uprn FROM gaz
+              WHERE source_type = 'original'),
+            det AS (
+              SELECT doc_id FROM d
+              WHERE uprn_clean IS NOT NULL
+                AND (uprn_clean IN (SELECT uprn FROM gaz_uprns)
+                     OR length(uprn_clean) BETWEEN 6 AND 12))
+            SELECT d.doc_id, u.exp_uprn AS uprn
+            FROM d
+            JOIN no_exact ne USING (addr_can, postcode)
+            JOIN uniq u ON u.addr_id = ne.addr_id
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM det)
+            ORDER BY d.doc_id""",
         "jaro_winkler": """
             SELECT a.c_custkey,
                    ROUND(jaro_winkler_similarity(upper(a.c_name),

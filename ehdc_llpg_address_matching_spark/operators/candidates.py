@@ -394,14 +394,16 @@ def gaz_hot_tokens(gazp: DataFrame, token_df_cap: int) -> DataFrame:
 
 def cand_rule_rewrite(uaddr: DataFrame, gazp: DataFrame,
                       min_sim: float = 0.70, top_k: int = 5,
-                      token_df_cap: int = 10000) -> DataFrame:
+                      token_df_cap: int = 10000,
+                      keep_sim: bool = False) -> DataFrame:
     """J7 full rule matcher: first-matching-rule rewrite (single
     when-chain projection — no per-rule pass over the corpus), token
     equi-join blocking (>=2 shared RARE tokens — tokens above
     token_df_cap gazetteer df are dropped from the join key on both
     sides, see gaz_hot_tokens), trigram sim >= min_sim, top-k per
     address, per-rule confidence +-adjusted by similarity.
-    Returns (addr_id, uprn, method, method_conf)."""
+    Returns (addr_id, uprn, method, method_conf); keep_sim=True
+    appends the raw trigram sim (audit / oracle slicing)."""
     from ..functions.normalize import STOP_TOKENS
     from ..functions.similarity import trigram_grams_expr, trigram_sim_expr
 
@@ -455,7 +457,8 @@ def cand_rule_rewrite(uaddr: DataFrame, gazp: DataFrame,
             .filter(F.col("_rn") <= top_k)
             .select("addr_id", "uprn",
                     F.concat(F.lit("rule_"), "rule").alias("method"),
-                    F.least(adj, F.lit(1.0)).alias("method_conf")))
+                    F.least(adj, F.lit(1.0)).alias("method_conf"),
+                    *([F.col("sim")] if keep_sim else [])))
 
 
 # J5 hierarchical cascade levels (reference:

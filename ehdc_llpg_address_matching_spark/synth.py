@@ -106,6 +106,27 @@ class SynthConfig:
         "postcode_unspaced": 0.08, "descriptor": 0.08, "uprn_suffix": 0.10,
         "multi": 0.04,
     })
+    # share of groups rendered as J7-rule-DECISIVE variants (the named
+    # rewrites — LUCKY LITE FARM, LASHAM AIRFIELD, FOUR MARKS spacing —
+    # where canonicalization alone cannot reach the gazetteer string, so
+    # only the rule matcher can win). 0.0 = off and BYTE-IDENTICAL
+    # output to older corpora for every existing seed (no extra rng
+    # draws, no extra gazetteer rows).
+    rule_special_frac: float = 0.0
+
+
+# J7-decisive gazetteer rows + the doc-side variant that only the
+# rewrite rule chain maps onto them (candidates.REWRITE_RULES 1-3; the
+# descriptor rules are NOT decisive here because addr_core strips
+# descriptors, and CO-OP/compass are handled by N5/N3 normalization).
+SPECIAL_RULE_ROWS = [
+    ("999100001", "LUCKYLITE FARM CATHERINGTON LANE", "HORNDEAN",
+     "PO8 0TB", "LUCKY LITE FARM"),
+    ("999100002", "LASHAM AERODROME", "LASHAM", "GU34 5SX",
+     "LASHAM AIRFIELD"),
+    ("999100003", "FOURMARKS GARAGE WINCHESTER ROAD", "MEDSTEAD",
+     "GU34 5HZ", "FOUR MARKS GARAGE WINCHESTER ROAD"),
+]
 
 
 def _typo(rng: random.Random, word: str) -> str:
@@ -194,6 +215,18 @@ def build_gazetteer(cfg: SynthConfig) -> pd.DataFrame:
             "easting": ex + rng.uniform(-1200, 1200),
             "northing": ny + rng.uniform(-1200, 1200),
         })
+    if cfg.rule_special_frac > 0:
+        for si, (uprn, body, loc, pc, _variant) in \
+                enumerate(SPECIAL_RULE_ROWS):
+            rows.append({
+                "uprn": uprn, "full_address": f"{body}, {loc}, {pc}",
+                "house_number": None, "street": body, "locality": loc,
+                "postcode": pc, "usrn": str(20900000 + si),
+                "blpu_class": "CO01", "status_code": "1",
+                "postal_flag": True,
+                "easting": 472000.0 + si * 500,
+                "northing": 121000.0 + si * 500,
+            })
     gaz = pd.DataFrame(rows)
     addr_for_embed = gaz["full_address"].str.upper().str.replace(",", "", regex=False)
     # plain Python list[float] — numpy float32 ndarrays break
@@ -298,6 +331,15 @@ def build_documents(cfg: SynthConfig, gaz: pd.DataFrame) -> tuple[pd.DataFrame, 
         group_key = f"APP/{2000 + group_no % 26}/{group_no:05d}"
         # one gazetteer target per group (consensus semantics)
         grow = gaz.iloc[rng.randrange(len(gaz))]
+        # rule-special groups target one of the J7-decisive rows; the
+        # short-circuit keeps the rng draw sequence (and therefore
+        # every existing seed's corpus) untouched when the frac is 0
+        special_variant = None
+        if cfg.rule_special_frac > 0 and \
+                rng.random() < cfg.rule_special_frac:
+            sp = SPECIAL_RULE_ROWS[rng.randrange(len(SPECIAL_RULE_ROWS))]
+            grow = gaz[gaz["uprn"] == sp[0]].iloc[0]
+            special_variant = sp[4]
         # historic group: the source system stamps a legacy UPRN that is
         # valid in format but absent from the LLPG on every doc of the
         # application — the engine must CREATE a historic gazetteer
@@ -305,7 +347,8 @@ def build_documents(cfg: SynthConfig, gaz: pd.DataFrame) -> tuple[pd.DataFrame, 
         # cmd/bulk-historic-uprns/main.go:80-104, migrations/029).
         # Group-level so consensus voting and the rescue gold stay
         # consistent (every matched member votes for the same UPRN).
-        historic = rng.random() < cfg.historic_frac
+        historic = special_variant is None and \
+            rng.random() < cfg.historic_frac
         hist_uprn = str(500000000 + int(grow.uprn) % 100000000) \
             if historic else None
         group_gold_rows = []
@@ -313,7 +356,16 @@ def build_documents(cfg: SynthConfig, gaz: pd.DataFrame) -> tuple[pd.DataFrame, 
         for _ in range(gsize):
             doc_id = f"D{i:07d}"
             unmatchable = rng.random() < cfg.unmatchable_frac
-            if unmatchable:
+            if special_variant is not None:
+                # J7-decisive render: the variant body that ONLY the
+                # rewrite chain maps to the gazetteer string (dirt
+                # profiles would break the rule regex)
+                parts_s = [p.strip() for p in grow.full_address.split(",")]
+                raw = f"{special_variant}, {parts_s[1]}, {parts_s[2]}"
+                raw_uprn, profile, true_uprn = None, "rule_special", grow.uprn
+                easting = northing = None
+                unmatchable = False
+            elif unmatchable:
                 raw = f"{rng.choice(DESCRIPTORS)} UNKNOWN PARCEL {rng.randrange(1000)}, NOWHERE"
                 raw_uprn, profile, true_uprn = None, "unmatchable", None
                 easting = northing = None
