@@ -796,6 +796,49 @@ def q_linkage_rules(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_linkage_consensus(spark, sf):
+    """The flagship pipeline's GROUP-CONSENSUS (G1) slice,
+    oracle-checked end-to-end (reference: cmd/matcher-v2/main.go:
+    759-1032) — extends oracle coverage into the graph-correction
+    share. The pipeline's PRE-consensus per-doc winners and the
+    doc->group mapping are persisted as fixtures; the DuckDB oracle
+    re-derives the whole correction from them alone: the bipartite
+    doc/uprn + group-anchor edge list, connected components (recursive
+    transitive closure, min-label), per-component majority vote with
+    the max-conf/min-uprn tie-break, the csize<=200 / votes>=2 /
+    votes>=0.4*matched safety gates, the 0.85/0.90/0.95 vote-count
+    confidence banding, and the group-propagation gate (an unmatched
+    doc only receives the winner if its OWN group has >=2 direct
+    voters for that uprn). The returned rows come from the PIPELINE's
+    final matches (slice = the consensus operator's own doc set), so a
+    consensus doc that is dropped, reassigned or re-scored anywhere
+    downstream — including the final keep-best union — row- or
+    hash-mismatches. Rescue cannot shadow this slice: rescue fires
+    only for groups where NO member matched, while the propagation
+    gate requires >=2 matched voters in the doc's group — disjoint by
+    construction."""
+    from ehdc_llpg_address_matching_spark.pipeline import (PipelineConfig,
+                                                           run_pipeline)
+    from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
+                                                        synth_spark_tables)
+    gaz_df, docs_df, _ = synth_spark_tables(
+        spark, SynthConfig(seed=7, n_gazetteer=120, n_docs=300,
+                           historic_frac=0.10, unmatchable_frac=0.15))
+    out = run_pipeline(spark, docs_df, gaz_df,
+                       PipelineConfig(enable_vector=False))
+    fix = _fix("linkage_consensus")
+    out["doc_matches"].select("doc_id", "uprn", "confidence").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{fix}/dm.parquet")
+    out["docs_normalized"].select("doc_id", "group_key").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{fix}/docs.parquet")
+    cons_ids = out["consensus"].select("doc_id")
+    return (out["matches"]
+            .join(cons_ids, "doc_id", "left_semi")
+            .select("doc_id", "uprn",
+                    F.round("confidence", 4).alias("confidence"), "method")
+            .orderBy("doc_id"))
+
+
 def q_media_metadata(spark, sf):
     """Multimodal metadata: REAL pure-python JPEG/PNG header parsing
     (parse_image_header — marker scan / IHDR chunk, no image libs)
@@ -895,6 +938,8 @@ def _engine_fixture(spark) -> str:
     w(uaddr.select("addr_id", "addr_can"), "uaddr_rule")
     w(gazp.select("uprn", "addr_core", "tokens"), "gaz_rule")
     w(docs_n.select("doc_id", "raw_address", "uprn_clean"), "docs_hist")
+    w(docs_n.select("doc_id", "group_key", "addr_core", "tokens"),
+      "docs_rescue")
     w(gazp.filter(F.col("source_type") == "original")
       .select("uprn").distinct(), "gaz_uprns")
     _engine_fix_built = True
@@ -929,6 +974,32 @@ def q_j7_rule_engine(spark, sf):
     return (cand_rule_rewrite(uaddr, gazp, token_df_cap=20)
             .select("addr_id", "uprn", "method",
                     F.round("method_conf", 4).alias("method_conf")))
+
+
+def q_g2_rescue_engine(spark, sf):
+    """G2 ENGINE path: group_fuzzy_rescue (reference cmd/matcher-v2/
+    main.go:1367-1594) on the persisted engine fixture. The 'already
+    matched' doc set is a deterministic SQL-mirrorable slice (blocks
+    of 8 doc ids), leaving whole groups unmatched; the oracle replays
+    the full rescue in SQL over the same parquet: longest-address
+    representative (deterministic length-then-addr_core tie-break),
+    hot-token-capped >=2-shared-token blocking, trigram sim, top-1 at
+    sim >= 0.5 with the min-uprn tie-break, 0.65/0.75/0.85 confidence
+    banding, fan-out to every member of the rescued group.
+    token_df_cap=20 so the cap is oracle-exercised."""
+    from ehdc_llpg_address_matching_spark.operators.rescue import \
+        group_fuzzy_rescue
+    fix = _engine_fixture(spark)
+    docs_n = spark.read.parquet(f"{fix}/docs_rescue.parquet")
+    gazp = (spark.read.parquet(f"{fix}/gaz_rule.parquet"))
+    dm = docs_n.filter(F.expr(
+        "CAST(substring(doc_id, 2) AS INT) div 8 % 2 = 0")) \
+        .select("doc_id")
+    return (group_fuzzy_rescue(docs_n, dm, gazp, min_sim=0.5,
+                               token_df_cap=20)
+            .select("doc_id", "uprn",
+                    F.round("confidence", 4).alias("confidence"), "method")
+            .orderBy("doc_id"))
 
 
 def q_historic_uprn(spark, sf):
@@ -989,12 +1060,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # persisted fixture; oracles mirror the operator logic in SQL
         "j5_hier_engine": q_j5_hier_engine,
         "j7_rule_engine": q_j7_rule_engine,
+        "g2_rescue_engine": q_g2_rescue_engine,
         "historic_uprn": q_historic_uprn,
         "jaro_winkler": q_jaro_winkler,
         "linkage_deterministic": q_linkage_deterministic,
         "linkage_exact": q_linkage_exact,
         "linkage_rules": q_linkage_rules,
         "linkage_phased": q_linkage_phased,
+        "linkage_consensus": q_linkage_consensus,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1017,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "/tmp/spark_graft_linkage_exact": _fix("linkage_exact"),
         "/tmp/spark_graft_linkage_rules": _fix("linkage_rules"),
         "/tmp/spark_graft_linkage_phased": _fix("linkage_phased"),
+        "/tmp/spark_graft_linkage_consensus": _fix("linkage_consensus"),
     }
     out = {}
     for k, v in _oracle_sql_raw().items():
@@ -1213,6 +1287,90 @@ def _oracle_sql_raw() -> dict[str, str]:
                          ORDER BY sim DESC, uprn) AS rn
                   FROM sims WHERE sim >= 0.70)
             WHERE rn <= 5""",
+        # G2 rescue mirror: deterministic matched slice (blocks of 8
+        # doc ids), fully-unmatched groups, longest-address rep
+        # (length-then-addr_core tie-break), hot-capped >=2-shared-
+        # token blocking, trigram sim, top-1 >= 0.5, banding, fan-out
+        "g2_rescue_engine": r"""
+            WITH d AS (
+              SELECT doc_id, group_key, addr_core, tokens
+              FROM read_parquet(
+                '/tmp/spark_graft_engine_oracle/docs_rescue.parquet/*.parquet')),
+            gaz AS (
+              SELECT uprn, addr_core AS g_core, tokens
+              FROM read_parquet(
+                '/tmp/spark_graft_engine_oracle/gaz_rule.parquet/*.parquet')),
+            dm AS (
+              SELECT doc_id FROM d
+              WHERE (CAST(substr(doc_id, 2) AS INT) // 8) % 2 = 0),
+            members AS (SELECT * FROM d WHERE group_key IS NOT NULL),
+            matched_groups AS (
+              SELECT DISTINCT m.group_key
+              FROM members m JOIN dm USING (doc_id)),
+            unmatched AS (
+              SELECT * FROM members
+              WHERE group_key NOT IN (SELECT group_key
+                                      FROM matched_groups)),
+            rep AS (
+              SELECT group_key, addr_core, tokens FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY group_key
+                         ORDER BY length(addr_core) DESC,
+                                  addr_core DESC) AS rn
+                FROM unmatched) WHERE rn = 1),
+            hot AS (
+              SELECT tok FROM (
+                SELECT unnest(list_distinct(tokens)) AS tok FROM gaz)
+              GROUP BY tok HAVING COUNT(*) > 20),
+            rep_tok AS (
+              SELECT group_key, addr_core,
+                     unnest(list_distinct(tokens)) AS tok
+              FROM rep),
+            rep_tok_r AS (
+              SELECT * FROM rep_tok
+              WHERE tok NOT IN (SELECT tok FROM hot)),
+            g_tok AS (
+              SELECT uprn, g_core,
+                     unnest(list_distinct(tokens)) AS tok
+              FROM gaz),
+            g_tok_r AS (
+              SELECT * FROM g_tok
+              WHERE tok NOT IN (SELECT tok FROM hot)),
+            cand AS (
+              SELECT group_key, addr_core, uprn, g_core
+              FROM rep_tok_r a JOIN g_tok_r b USING (tok)
+              GROUP BY ALL HAVING COUNT(*) >= 2),
+            strs AS (
+              SELECT addr_core AS s FROM cand
+              UNION SELECT g_core FROM cand),
+            grams AS (
+              SELECT s, list_distinct(flatten(list_transform(
+                       list_filter(string_split(s, ' '), w -> w <> ''),
+                       w -> list_transform(
+                         range(1, length('  ' || w || ' ') - 1),
+                         i -> substr('  ' || w || ' ',
+                                     CAST(i AS INT), 3))))) AS gset
+              FROM strs),
+            sims AS (
+              SELECT c.*,
+                CASE WHEN len(ga.gset) = 0 OR len(gb.gset) = 0 THEN 0.0
+                     ELSE len(list_intersect(ga.gset, gb.gset)) * 1.0 /
+                          (len(ga.gset) + len(gb.gset)
+                           - len(list_intersect(ga.gset, gb.gset)))
+                END AS sim
+              FROM cand c JOIN grams ga ON ga.s = c.addr_core
+                          JOIN grams gb ON gb.s = c.g_core),
+            winner AS (
+              SELECT group_key, uprn, sim FROM (
+                SELECT s.*, ROW_NUMBER() OVER (PARTITION BY group_key
+                         ORDER BY sim DESC, uprn) AS rn FROM sims s)
+              WHERE rn = 1 AND sim >= 0.5)
+            SELECT u.doc_id, w.uprn,
+                   ROUND(CASE WHEN w.sim >= 0.8 THEN 0.85
+                              WHEN w.sim >= 0.65 THEN 0.75
+                              ELSE 0.65 END, 4) AS confidence,
+                   'group_rescue' AS method
+            FROM unmatched u JOIN winner w USING (group_key)
+            ORDER BY u.doc_id""",
         "linkage_deterministic": r"""
             WITH d AS (
               SELECT doc_id,
@@ -1420,6 +1578,88 @@ def _oracle_sql_raw() -> dict[str, str]:
             JOIN uniq u ON u.addr_id = ne.addr_id
             WHERE d.doc_id NOT IN (SELECT doc_id FROM det)
             ORDER BY d.doc_id""",
+        # full G1 mirror over the pipeline's persisted pre-consensus
+        # winners + doc->group mapping: bipartite doc/uprn +
+        # group-anchor edges, CC by recursive transitive closure
+        # (min-label), majority vote with max-conf/min-uprn tie-break,
+        # csize/votes/vote-share gates, 0.85/0.90/0.95 banding, and
+        # the >=2-direct-voters-in-own-group propagation gate
+        "linkage_consensus": r"""
+            WITH RECURSIVE dm AS (
+              SELECT doc_id, uprn, confidence FROM read_parquet(
+                '/tmp/spark_graft_linkage_consensus/dm.parquet/*.parquet')),
+            d AS (
+              SELECT doc_id, group_key FROM read_parquet(
+                '/tmp/spark_graft_linkage_consensus/docs.parquet/*.parquet')),
+            du AS (
+              SELECT 'd:' || doc_id AS src, 'u:' || uprn AS dst FROM dm),
+            anchors AS (
+              SELECT group_key, MIN(doc_id) AS anchor FROM d
+              WHERE group_key IS NOT NULL GROUP BY group_key),
+            dd AS (
+              SELECT 'd:' || d.doc_id AS src, 'd:' || a.anchor AS dst
+              FROM d JOIN anchors a USING (group_key)
+              WHERE d.doc_id <> a.anchor),
+            e AS (SELECT src, dst FROM du UNION ALL
+                  SELECT src, dst FROM dd),
+            sym AS (SELECT src AS a, dst AS b FROM e
+                    UNION SELECT dst, src FROM e),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b <> r.a
+            ),
+            node AS (SELECT DISTINCT a AS n FROM sym),
+            comp AS (
+              SELECT n.n AS node,
+                     LEAST(n.n, COALESCE(MIN(r.b), n.n)) AS component
+              FROM node n LEFT JOIN reach r ON r.a = n.n GROUP BY n.n),
+            doc_nodes AS (
+              SELECT substr(node, 3) AS doc_id, component
+              FROM comp WHERE node LIKE 'd:%'),
+            votes AS (
+              SELECT c.component, m.uprn, COUNT(*) AS votes,
+                     MAX(m.confidence) AS max_conf
+              FROM dm m JOIN doc_nodes c USING (doc_id)
+              WHERE m.confidence > 0.5
+              GROUP BY c.component, m.uprn),
+            winner AS (
+              SELECT component, uprn, votes FROM (
+                SELECT v.*, ROW_NUMBER() OVER (
+                  PARTITION BY component
+                  ORDER BY votes DESC, max_conf DESC, uprn) AS rn
+                FROM votes v) WHERE rn = 1),
+            stats AS (
+              SELECT c.component, COUNT(*) AS csize,
+                     SUM(CASE WHEN m.doc_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS matched
+              FROM doc_nodes c LEFT JOIN dm m USING (doc_id)
+              GROUP BY c.component),
+            gated AS (
+              SELECT w.component, w.uprn, w.votes
+              FROM winner w JOIN stats s USING (component)
+              WHERE s.csize <= 200 AND w.votes >= 2
+                AND w.votes >= s.matched * 0.4),
+            unm AS (
+              SELECT d.doc_id FROM d LEFT JOIN dm USING (doc_id)
+              WHERE dm.doc_id IS NULL),
+            voter_groups AS (
+              SELECT dg.group_key, m.uprn
+              FROM dm m JOIN d dg USING (doc_id)
+              GROUP BY dg.group_key, m.uprn HAVING COUNT(*) >= 2)
+            SELECT a.doc_id, g.uprn,
+                   ROUND(CASE WHEN g.votes >= 4 THEN 0.95
+                              WHEN g.votes = 3 THEN 0.90
+                              ELSE 0.85 END, 4) AS confidence,
+                   'cluster_consensus' AS method
+            FROM unm a
+            JOIN doc_nodes dn USING (doc_id)
+            JOIN gated g USING (component)
+            JOIN d dx USING (doc_id)
+            JOIN voter_groups vg
+              ON vg.group_key = dx.group_key AND vg.uprn = g.uprn
+            ORDER BY a.doc_id""",
         "jaro_winkler": """
             SELECT a.c_custkey,
                    ROUND(jaro_winkler_similarity(upper(a.c_name),

@@ -34,11 +34,17 @@ def group_fuzzy_rescue(docs_n: DataFrame, doc_matches: DataFrame,
                       .select(group_col).distinct())
     unmatched = members.join(matched_groups, group_col, "left_anti")
     # representative: longest core address in the group (reference
-    # picks the longest "real" address, :1388-1420)
+    # picks the longest "real" address, :1388-1420). Length ties break
+    # toward the lexicographically-max addr_core — max_by with a bare
+    # length key left the tied case partition-order-dependent, which
+    # violates the resume/snapshot contract (two runs of the same
+    # input must emit identical rescues) and blocks oracle checking
     rep = (unmatched
            .groupBy(group_col)
            .agg(F.max_by(F.struct("addr_core", "tokens"),
-                         F.length("addr_core")).alias("_r"))
+                         F.struct(F.length("addr_core").alias("_l"),
+                                  F.col("addr_core").alias("_a")))
+                .alias("_r"))
            .select(group_col, F.col("_r.addr_core").alias("addr_core"),
                    F.col("_r.tokens").alias("tokens")))
     # candidates: token-overlap >= 2 as a SHUFFLE-BOUNDED equi-join —
