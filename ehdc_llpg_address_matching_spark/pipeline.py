@@ -57,6 +57,13 @@ class PipelineConfig:
     enable_vector: bool = True
     enable_spatial: bool = True
     enable_symspell: bool = True
+    # G3 LLM golden-record corrections: OFF by default — the reference
+    # hard-disables the phase in production ("LLM corrections degrade
+    # data quality", cmd/matcher-v2/main.go:1651-1656). Enabling also
+    # requires injecting llm_fn (operators/golden.py); no model client
+    # is bundled.
+    enable_llm_golden: bool = False
+    llm_fn: object = None
     hot_key_threshold: int = 2000
     n_salt: int = 8
     top_k_audit: int = 10
@@ -255,6 +262,21 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         allowMissingColumns=True).unionByName(
         rescue.withColumn("score", F.col("confidence")),
         allowMissingColumns=True)
+    if cfg.enable_llm_golden:
+        # G3 (reference applyGroupLLMMatching, main.go:1992-2213; the
+        # phase the reference ships hard-disabled). Docs already
+        # corrected by consensus/rescue are excluded — the reference's
+        # address_match_corrected anti-join — so graph corrections
+        # keep precedence over the LLM's verdicts.
+        from .operators.golden import llm_golden_record_corrections
+        llm_corr = (llm_golden_record_corrections(
+                        doc_matches, docs_n, gazp, llm_fn=cfg.llm_fn)
+                    .join(consensus.select("doc_id"), "doc_id",
+                          "left_anti")
+                    .join(rescue.select("doc_id"), "doc_id", "left_anti"))
+        matches = matches.unionByName(
+            llm_corr.withColumn("score", F.col("confidence")),
+            allowMissingColumns=True)
     # consensus/rescue only touch previously-unmatched docs, but keep a
     # deterministic one-row-per-doc guarantee regardless
     # min_by with negated confidence/score: ties break toward the MIN

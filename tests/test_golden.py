@@ -1,0 +1,114 @@
+"""G3 LLM golden-record machinery (operators/golden.py) — the phase
+the reference ships hard-disabled (cmd/matcher-v2/main.go:1651-1656).
+The Spark plumbing (golden election, candidate selection, batched
+mapInPandas fan-out, verdict parsing, pipeline gating) is real and
+tested with a deterministic fake LLM; no model client is bundled."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ehdc_llpg_address_matching_spark.operators import golden as G
+
+
+# ------------------------------------------------------ verdict parsing
+
+def test_parse_llm_verdict_contract():
+    assert G.parse_llm_verdict("SAME|0.85") == (True, 0.85)
+    assert G.parse_llm_verdict("DIFFERENT|0.30") == (False, 0.30)
+    # tolerant of prose, case, whitespace — small local models ramble
+    assert G.parse_llm_verdict("Sure! same | 0.9 because...") == (True, 0.9)
+    assert G.parse_llm_verdict("  DIFFERENT  0.2") == (False, 0.2)
+    # conservative on garbage: a format-breaking LLM must never match
+    assert G.parse_llm_verdict("") == (False, 0.0)
+    assert G.parse_llm_verdict("MAYBE?") == (False, 0.0)
+    assert G.parse_llm_verdict(None) == (False, 0.0)
+    # confidence clamped into [0, 1]
+    assert G.parse_llm_verdict("SAME|1.7") == (True, 1.0)
+
+
+def test_build_prompt_slots():
+    p = G.build_prompt("5 AMEY ESTATE", "UNIT 5 AMEY INDUSTRIAL ESTATE")
+    assert "Address 1 (unmatched): 5 AMEY ESTATE" in p
+    assert "Address 2 (golden record from LLPG): UNIT 5" in p
+    assert "SAME|0.85 or DIFFERENT|0.30" in p
+
+
+# --------------------------------------------------- fixture dataframes
+
+def _frames(spark):
+    # group A: 2 high-conf matches to U1 + 1 unmatched  -> qualifies
+    # group B: 1 high-conf match only                    -> too few golden
+    # group C: 2 high-conf to U3 but NO unmatched member -> no candidates
+    # group D: 9 docs                                    -> over max_group
+    docs = [("d1", "A", "5 AMEY ESTATE"), ("d2", "A", "5, AMEY INDUSTRIAL"),
+            ("d3", "A", "UNIT 5 AMEY IND EST"),
+            ("d4", "B", "1 HIGH ST"), ("d5", "B", "1A HIGH ST"),
+            ("d6", "C", "2 LOW RD"), ("d7", "C", "2 LOW ROAD")]
+    docs += [(f"d{i}", "D", f"{i} LONG LANE") for i in range(10, 19)]
+    docs_n = spark.createDataFrame(docs,
+                                   "doc_id string, group_key string, "
+                                   "raw_address string")
+    dm = spark.createDataFrame(
+        [("d1", "U1", 0.95), ("d2", "U1", 0.92),
+         ("d4", "U2", 0.95),
+         ("d6", "U3", 0.95), ("d7", "U3", 0.91),
+         ("d10", "U4", 0.95), ("d11", "U4", 0.95)],
+        "doc_id string, uprn string, confidence double")
+    gazp = spark.createDataFrame(
+        [("U1", "UNIT 5 AMEY INDUSTRIAL ESTATE, PETERSFIELD", "original"),
+         ("U2", "1 HIGH STREET", "original"),
+         ("U3", "2 LOW ROAD", "original"),
+         ("U4", "LONG LANE FARM", "original")],
+        "uprn string, full_address string, source_type string")
+    return docs_n, dm, gazp
+
+
+def test_find_golden_records_gates(spark):
+    docs_n, dm, gazp = _frames(spark)
+    out = G.find_golden_records(dm, docs_n, gazp).collect()
+    # only group A qualifies: B has 1 golden vote, C has no unmatched,
+    # D exceeds max_group
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_key"], r["golden_uprn"]) == ("A", "U1")
+    assert r["golden_address"].startswith("UNIT 5 AMEY")
+
+
+def test_llm_corrections_with_fake_model(spark):
+    docs_n, dm, gazp = _frames(spark)
+
+    def fake_llm(prompts: pd.Series) -> pd.Series:
+        # deterministic: SAME iff the two address lines share a token
+        out = []
+        for p in prompts:
+            lines = [l for l in p.splitlines() if l.startswith("Address")]
+            a = set(lines[0].split(": ", 1)[1].replace(",", "").split())
+            b = set(lines[1].split(": ", 1)[1].replace(",", "").split())
+            out.append("SAME|0.90" if len(a & b) >= 2 else "DIFFERENT|0.10")
+        return pd.Series(out)
+
+    out = G.llm_golden_record_corrections(dm, docs_n, gazp,
+                                          llm_fn=fake_llm).collect()
+    # d3 ("UNIT 5 AMEY IND EST") shares >=2 tokens with the golden
+    # address -> corrected to U1 at 0.9
+    assert len(out) == 1
+    assert (out[0]["doc_id"], out[0]["uprn"]) == ("d3", "U1")
+    assert out[0]["confidence"] == 0.90
+    assert out[0]["method"] == "llm_golden"
+
+
+def test_llm_requires_injected_client(spark):
+    docs_n, dm, gazp = _frames(spark)
+    with pytest.raises(NotImplementedError):
+        G.llm_golden_record_corrections(dm, docs_n, gazp, llm_fn=None)
+
+
+def test_pipeline_gate_default_off():
+    # the config gate mirrors the reference's hard-disable: default
+    # construction must NOT enable the LLM phase or require a client
+    from ehdc_llpg_address_matching_spark.pipeline import PipelineConfig
+    cfg = PipelineConfig()
+    assert cfg.enable_llm_golden is False and cfg.llm_fn is None
