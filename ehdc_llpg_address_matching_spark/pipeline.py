@@ -324,6 +324,10 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         "historic_gazetteer": C.historic_uprn_records(docs_n, gazp,
                                                       missing=missing),
         "candidates": cands,
+        # scored keep-best pairs (post keep_best_per_uprn, pre-decide):
+        # the decision phase's exact input, exposed so audits / the
+        # linkage_fuzzy oracle can replay decide() from persisted data
+        "scored_pairs": best,
         "audit_candidates": decided,
         "doc_matches": doc_matches,
         "consensus": consensus,
