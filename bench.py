@@ -192,6 +192,19 @@ def _materialize_pairs(tmp: str) -> str:
     pairs = (S.prefilter_pairs(
                  S.with_column_features(S.attach_pair_attrs(cands, uaddr, gazp)))
              .select(*SCORING_COLS))
+    # bake the per-side hashed 3-gram arrays into the fixture: they are
+    # phase INPUT (attach_pair_attrs computes them pre-fan-out in the
+    # real pipeline), and recomputing them at cache-materialize time
+    # cost every local[2] session ~2 min of untimed constant overhead —
+    # compute once here at local[32] instead, so per-session setup is a
+    # plain parquet read (round-5 scaling-budget fix)
+    from ehdc_llpg_address_matching_spark.functions.similarity import \
+        trigram_grams_expr as _tge
+    from pyspark.sql import functions as _F
+    for grams, src in (("d_grams", "d_core"), ("g_grams", "g_core"),
+                       ("d_street_grams", "d_street"),
+                       ("g_street_grams", "g_street")):
+        pairs = pairs.withColumn(grams, _tge(_F.col(src)))
     tmp_out = pairs_path + "._tmp"
     shutil.rmtree(tmp_out, ignore_errors=True)
     try:
@@ -246,7 +259,9 @@ def run_scoring_phase(spark, pairs_path: str, n_cpus: int,
         if grams not in base.columns:
             base = base.withColumn(grams, trigram_grams_expr(_F.col(src)))
     base = base.repartition(n_cpus * 4).cache()
+    t_cache = time.time()
     n_base = base.count()
+    cache_sec = round(time.time() - t_cache, 2)
     pairs = base.unionByName(
         base.withColumn("addr_id",
                         _F.concat(_F.col("addr_id"), _F.lit("#dup"))))
@@ -268,31 +283,36 @@ def run_scoring_phase(spark, pairs_path: str, n_cpus: int,
     # the whole scaling section past its subprocess timeout (round-5:
     # the first hardened run died at 3600 s with zero scaling output —
     # strictly worse than a noisy number).
-    warm_base = base.limit(150_000)
+    # repartition after limit: limit() collapses to one partition and
+    # serialized the whole warm pass through a single task slot
+    warm_base = base.limit(150_000).repartition(n_cpus)
     warm_pairs = warm_base.unionByName(
         warm_base.withColumn("addr_id",
                              _F.concat(_F.col("addr_id"), _F.lit("#dup"))))
+    t_warm = time.time()
     D.decide(D.keep_best_per_uprn(D.narrow_for_decision(
         S.with_score(S.with_pair_features(warm_pairs))))).count()
     S.with_pair_features(warm_pairs).agg(F.sum("trgm")).collect()
+    warm_sec = round(time.time() - t_warm, 2)
 
     best_full, best_udf = float("inf"), float("inf")
     n_out = 0
-    for i in range(n_runs):
+    for _ in range(n_runs):
         d = build()
         t0 = time.time()
         n_out = d.count()
         best_full = min(best_full, time.time() - t0)
-        if i == 0:
-            # the UDF-only stage is a companion diagnostic (shuffle-free
-            # lower bound); one timed run per session — the cross-session
-            # median already defends it, and a second in-session repeat
-            # cost more wall than it removed noise
-            t0 = time.time()
-            udf_only()
-            best_udf = time.time() - t0
+        # the UDF-only stage is the shuffle-free diagnostic companion;
+        # best-of-n like the full phase (round-5: a single-run udf
+        # reading produced an incoherent 1.35 ceiling efficiency in an
+        # otherwise clean artifact — diagnostic numbers need the same
+        # noise defense as the graded one)
+        t0 = time.time()
+        udf_only()
+        best_udf = min(best_udf, time.time() - t0)
     return {"wall_sec": round(best_full, 2),
             "udf_wall_sec": round(best_udf, 2),
+            "cache_sec": cache_sec, "warm_sec": warm_sec,
             "pairs": n_pairs, "decided": n_out,
             "pairs_per_sec": round(n_pairs / best_full, 1),
             "udf_pairs_per_sec": round(n_pairs / best_udf, 1)}
@@ -382,8 +402,10 @@ def run_scaling() -> dict:
     best-of estimators are all in the artifact."""
     # size-keyed path: a cached corpus/pair table from a different
     # BENCH_SCALE_DOCS/GAZ setting can never be silently reused
+    # _g1 suffix: fixture schema now includes the baked gram arrays —
+    # a stale pre-gram fixture under the old path must not be reused
     pairs_path = _materialize_pairs(
-        f"/tmp/bench_scale_{SCALE_DOCS}_{SCALE_GAZ}")
+        f"/tmp/bench_scale_{SCALE_DOCS}_{SCALE_GAZ}_g1")
     n_small = max(CPUS // 16, 2)
     n_large = n_small * 4
     deadline = time.time() + float(
@@ -468,14 +490,11 @@ def run_scaling() -> dict:
     # sees the number explained rather than alarming.
     # runs regardless of the top-up deadline (round-5: the 3 initial
     # pairs consumed the budget and silently dropped this point from
-    # the artifact); single-run sessions — it is a diagnostic
-    # companion, not the graded estimator
+    # the artifact)
     if CPUS >= 32:
         try:
-            cs = _scale_session_subprocess(pairs_path, n_small * 2,
-                                           n_runs=1)
-            cl = _scale_session_subprocess(pairs_path, n_large * 2,
-                                           n_runs=1)
+            cs = _scale_session_subprocess(pairs_path, n_small * 2)
+            cl = _scale_session_subprocess(pairs_path, n_large * 2)
             out["ceiling_4_to_16"] = {
                 "n_small": n_small * 2, "n_large": n_large * 2,
                 "pairs_per_sec_small": cs["pairs_per_sec"],
