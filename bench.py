@@ -330,6 +330,10 @@ def _await_quiet_box(max_wait: float = 120.0) -> float:
     the load to drop below the guard before a timed session, up to
     max_wait; always proceed eventually and RECORD the load so the
     artifact itself shows the conditions the number was taken under."""
+    # unconditional short settle: the previous session's JVM teardown
+    # leaves page-cache writeback + GC threads running for ~10 s, which
+    # lands inside the next session's first timed run otherwise
+    time.sleep(15)
     t0 = time.time()
     load = os.getloadavg()[0]
     while load > LOAD_GUARD and time.time() - t0 < max_wait:
@@ -409,13 +413,17 @@ def run_scaling() -> dict:
     n_small = max(CPUS // 16, 2)
     n_large = n_small * 4
     deadline = time.time() + float(
-        os.environ.get("BENCH_SCALE_BUDGET_SEC", "1800"))
+        os.environ.get("BENCH_SCALE_BUDGET_SEC", "2400"))
 
     sessions: list[tuple[dict, dict]] = []  # interleaved (small, large)
 
     def _one_pair():
         s = _scale_session_subprocess(pairs_path, n_small)
-        l = _scale_session_subprocess(pairs_path, n_large)
+        # the large level's timed runs are ~27 s each, so its best-of
+        # sees proportionally more stage-scheduling noise than the
+        # ~86 s small runs — a third timed run costs ~30 s and evens
+        # the sampling between the two levels
+        l = _scale_session_subprocess(pairs_path, n_large, n_runs=3)
         sessions.append((s, l))
 
     def _estimates() -> dict:
