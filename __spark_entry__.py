@@ -1130,6 +1130,112 @@ def q_jaro_winkler(spark, sf):
             .orderBy("c_custkey"))
 
 
+def q_f3_levenshtein(spark, sf):
+    """F3 normalized Levenshtein similarity (the vectorized
+    min-plus-scan batch kernel, similarity.py:39) oracle-checked
+    against DuckDB's built-in levenshtein(): 1 - d / max(len_a,
+    len_b, 1) (reference semantics: internal/match/features.go:
+    163-181,429-468). Two columns — short type strings and longer
+    multi-word part names — so both the short-string and the
+    padded-matrix code paths of the kernel are exercised."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from ehdc_llpg_address_matching_spark.functions.similarity import \
+        levenshtein_sim_batch
+
+    @pandas_udf(DoubleType())
+    def _lev(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(levenshtein_sim_batch(a, b))
+
+    c = _t(spark, sf, "part").filter(F.col("p_partkey") <= 500)
+    a = c.select("p_partkey", F.col("p_name").alias("name_a"),
+                 F.col("p_type").alias("type_a"))
+    b = c.select((F.col("p_partkey") - 1).alias("p_partkey"),
+                 F.col("p_name").alias("name_b"),
+                 F.col("p_type").alias("type_b"))
+    return (a.join(b, "p_partkey")
+            .select("p_partkey",
+                    F.round(_lev(F.upper("name_a"),
+                                 F.upper("name_b")), 4).alias("lev_name"),
+                    F.round(_lev(F.upper("type_a"),
+                                 F.upper("type_b")), 4).alias("lev_type")))
+
+
+def q_n6_house_numbers(spark, sf):
+    """N6 house-number token extraction (normalize.py:165,
+    HOUSE_NUM_RE = \\b(\\d+[A-Z]?)\\b; reference: address.go:78-81,
+    219-236) over deterministic address-like strings that exercise
+    ranges ('12-14'), lettered units ('FLAT 7B') and digits embedded
+    in a postcode token (GU051AA — must NOT match: no word boundary
+    before the digits). Joined to one comma-separated column so the
+    list compares as a stable scalar on both engines."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from ehdc_llpg_address_matching_spark.functions.normalize import \
+        house_numbers_series
+
+    @pandas_udf(StringType())
+    def _hn(s: pd.Series) -> pd.Series:
+        return house_numbers_series(s).str.join(",")
+
+    k = F.col("c_custkey")
+    raw = F.upper(F.concat(
+        (k % 200).cast("string"), F.lit("-"),
+        (k % 200 + 2).cast("string"), F.lit(" HIGH RD FLAT "),
+        (k % 12).cast("string"), F.expr("char(65 + c_custkey % 3)"),
+        F.lit(" "), F.col("c_mktsegment"),
+        F.lit(" GU"), F.lpad((k % 90).cast("string"), 2, "0"),
+        F.lit("1AA")))
+    return (_t(spark, sf, "customer").filter(k <= 500)
+            .select("c_custkey", _hn(raw).alias("house_nums")))
+
+
+def q_f4_token_cosine(spark, sf):
+    """F4 token-frequency (bag-of-words) cosine + F7 token-set
+    overlap (similarity.py:225,303; reference cosineBagOfWords
+    internal/match/features.go:184-228, overlap fuzzy.go:527-543)
+    on whitespace-token strings with REPEATED tokens, so the
+    frequency weighting (not just set membership) is what the
+    oracle checks. DuckDB mirrors the tf dot product via
+    unnest+group and the overlap via list_intersect."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from ehdc_llpg_address_matching_spark.functions.similarity import (
+        token_cosine_batch, token_overlap_batch)
+
+    @pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(token_cosine_batch(a, b))
+
+    @pandas_udf(DoubleType())
+    def _ovl(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(token_overlap_batch(a, b))
+
+    def toks(seg, key, rowkey):
+        # repeated tokens: segment appears twice, plus shared filler;
+        # the W-token flips only at multiples of 7 so adjacent pairs
+        # usually share it — more distinct output values for the hash
+        return F.split(F.concat(
+            seg, F.lit(" "), seg, F.lit(" HIGH ROAD "),
+            (key % 10).cast("string"), F.lit(" W"),
+            (F.floor(rowkey / 7).cast("long") % 5).cast("string")), " ")
+
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 500)
+    a = c.select("c_custkey",
+                 toks(F.col("c_mktsegment"), F.col("c_custkey"),
+                      F.col("c_custkey")).alias("toks_a"))
+    b = c.select((F.col("c_custkey") - 1).alias("c_custkey"),
+                 toks(F.col("c_mktsegment"), F.col("c_custkey") + 3,
+                      F.col("c_custkey")).alias("toks_b"))
+    return (a.join(b, "c_custkey")
+            .select("c_custkey",
+                    F.round(_cos("toks_a", "toks_b"), 4).alias("tok_cos"),
+                    F.round(_ovl("toks_a", "toks_b"), 4).alias("tok_ovl")))
+
+
 # ------------------------------------------- engine-path oracle fixture
 
 _ENGINE_FIX = _fix("engine_oracle")
@@ -1177,6 +1283,26 @@ def _engine_fixture(spark) -> str:
       "docs_rescue")
     w(gazp.filter(F.col("source_type") == "original")
       .select("uprn").distinct(), "gaz_uprns")
+    w(uaddr.select("addr_id",
+                   F.col("postcode").alias("d_pc"),
+                   F.col("c_house").alias("d_house"),
+                   F.col("house_numbers").alias("d_house_numbers"),
+                   F.col("c_locality").alias("d_locality"),
+                   F.col("c_name").alias("d_name"),
+                   F.col("street_phonetic").alias("d_phon"),
+                   F.col("easting").alias("d_e"),
+                   F.col("northing").alias("d_n")), "uaddr_feat")
+    w(gazp.select("uprn",
+                  F.col("postcode").alias("g_pc"),
+                  F.col("c_house").alias("g_house"),
+                  F.col("house_numbers").alias("g_house_numbers"),
+                  F.col("c_locality").alias("g_locality"),
+                  F.col("street_phonetic").alias("g_phon"),
+                  F.col("status_code").alias("g_status"),
+                  F.col("usrn").alias("g_usrn"),
+                  F.col("blpu_class").alias("g_blpu"),
+                  F.col("easting").alias("g_e"),
+                  F.col("northing").alias("g_n")), "gaz_feat")
     _engine_fix_built = True
     return _ENGINE_FIX
 
@@ -1251,6 +1377,42 @@ def q_historic_uprn(spark, sf):
                     "source_document_id", "n_source_docs"))
 
 
+def q_f6_f11_features(spark, sf):
+    """F6-F11 ENGINE path: with_column_features (operators/scoring.py:
+    193 — house number/exact/conflict, locality token overlap, phonetic
+    hit, spatial distance + boost, postcode flags, live/usrn/blpu meta;
+    reference: internal/match/features.go:128-143, fuzzy.go:527-543)
+    over engine-prepared pair rows blocked on the 2-char postcode AREA
+    (coarser than the district the pipeline blocks on, so pc_match and
+    pc_district_match both vary). The oracle recomputes every feature
+    expression in SQL over the same persisted attribute parquet.
+    usrn_match is constant false here because documents carry no USRN —
+    the reference stubs it the same way (features.go:128-143). Booleans
+    are cast to int so the value hash never depends on either engine's
+    bool rendering."""
+    from ehdc_llpg_address_matching_spark.operators.scoring import \
+        with_column_features
+    fixd = _engine_fixture(spark)
+    ua = (spark.read.parquet(f"{fixd}/uaddr_feat.parquet")
+          .filter(F.col("d_pc") != ""))
+    gz = (spark.read.parquet(f"{fixd}/gaz_feat.parquet")
+          .filter(F.col("g_pc") != ""))
+    pairs = ua.join(gz, F.substring(F.col("d_pc"), 1, 2) ==
+                    F.substring(F.col("g_pc"), 1, 2))
+    out = with_column_features(pairs)
+    b = lambda c: F.col(c).cast("int").alias(c)
+    return out.select(
+        "addr_id", "uprn", "g_house",
+        b("house_match"), b("house_exact"), b("house_conflict"),
+        F.round("locality_sim", 4).alias("locality_sim"),
+        b("phonetic_hit"),
+        F.round("spatial_boost", 4).alias("spatial_boost"),
+        F.round("dist_m", 2).alias("dist_m"),
+        b("pc_match"), b("pc_district_match"),
+        F.coalesce(F.col("live"), F.lit(False)).cast("int").alias("live"),
+        b("usrn_match"), b("blpu_class_compat"))
+
+
 # ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1298,6 +1460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_rescue_engine": q_g2_rescue_engine,
         "historic_uprn": q_historic_uprn,
         "jaro_winkler": q_jaro_winkler,
+        "f3_levenshtein": q_f3_levenshtein,
+        "n6_house_numbers": q_n6_house_numbers,
+        "f4_token_cosine": q_f4_token_cosine,
+        "f6_f11_features": q_f6_f11_features,
         "linkage_deterministic": q_linkage_deterministic,
         "linkage_exact": q_linkage_exact,
         "linkage_rules": q_linkage_rules,
@@ -1347,6 +1513,63 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_raw() -> dict[str, str]:
     return {
+        "f6_f11_features": r"""
+            WITH d AS (
+              SELECT * FROM read_parquet(
+                '/tmp/spark_graft_engine_oracle/uaddr_feat.parquet/*.parquet')
+              WHERE d_pc <> ''),
+            g AS (
+              SELECT * FROM read_parquet(
+                '/tmp/spark_graft_engine_oracle/gaz_feat.parquet/*.parquet')
+              WHERE g_pc <> ''),
+            p AS (
+              SELECT d.*, g.*,
+                     regexp_replace(upper(coalesce(d_house, '')),
+                                    '[^0-9A-Z]', '', 'g') AS _dh,
+                     regexp_replace(upper(coalesce(g_house, '')),
+                                    '[^0-9A-Z]', '', 'g') AS _gh,
+                     (d_house IS NOT NULL AND d_house <> '' AND
+                      g_house IS NOT NULL AND g_house <> '') AS _both,
+                     COALESCE(CASE WHEN len(d_house_numbers) > 0
+                                    AND len(g_house_numbers) > 0
+                              THEN len(list_intersect(d_house_numbers,
+                                                      g_house_numbers)) > 0
+                              END, false) AS _hm,
+                     sqrt(power(d_e - g_e, 2) + power(d_n - g_n, 2)) AS _dist
+              FROM d JOIN g ON substr(d_pc, 1, 2) = substr(g_pc, 1, 2))
+            SELECT addr_id, uprn, g_house,
+                   _hm::INT AS house_match,
+                   COALESCE(_both AND _dh = _gh, false)::INT AS house_exact,
+                   COALESCE(_both AND _dh <> _gh AND NOT _hm,
+                            false)::INT AS house_conflict,
+                   ROUND(CASE WHEN d_locality <> '' AND g_locality <> ''
+                         THEN len(list_intersect(
+                                string_split(d_locality, ' '),
+                                string_split(g_locality, ' ')))::DOUBLE
+                              / GREATEST(LEAST(
+                                  len(string_split(d_locality, ' ')),
+                                  len(string_split(g_locality, ' '))), 1)
+                         ELSE 0.0 END, 4) AS locality_sim,
+                   COALESCE(d_phon <> '' AND d_phon = g_phon,
+                            false)::INT AS phonetic_hit,
+                   ROUND(CASE WHEN d_e IS NOT NULL AND g_e IS NOT NULL
+                         THEN exp(-_dist / 300.0) ELSE 0.0 END,
+                         4) AS spatial_boost,
+                   ROUND(CASE WHEN d_e IS NOT NULL AND g_e IS NOT NULL
+                         THEN _dist END, 2) AS dist_m,
+                   COALESCE(CASE WHEN d_pc <> '' AND g_pc <> ''
+                            THEN d_pc = g_pc END, false)::INT AS pc_match,
+                   COALESCE(CASE WHEN d_pc <> '' AND g_pc <> ''
+                            THEN split_part(d_pc, ' ', 1) =
+                                 split_part(g_pc, ' ', 1) END,
+                            false)::INT AS pc_district_match,
+                   COALESCE(g_status = '1', false)::INT AS live,
+                   0 AS usrn_match,
+                   COALESCE(NOT (d_house <> '' AND
+                                 COALESCE(d_name, '') = '' AND
+                                 g_blpu LIKE 'C%'),
+                            true)::INT AS blpu_class_compat
+            FROM p""",
         "j5_hier_engine": r"""
             WITH d AS (
               SELECT addr_id,
@@ -2076,6 +2299,68 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON b.c_custkey = a.c_custkey + 1
             WHERE a.c_custkey <= 500 AND b.c_custkey <= 500""",
+        "f3_levenshtein": """
+            SELECT a.p_partkey,
+                   ROUND(1.0 - levenshtein(upper(a.p_name),
+                                           upper(b.p_name))::DOUBLE
+                         / GREATEST(length(a.p_name), length(b.p_name), 1),
+                         4) AS lev_name,
+                   ROUND(1.0 - levenshtein(upper(a.p_type),
+                                           upper(b.p_type))::DOUBLE
+                         / GREATEST(length(a.p_type), length(b.p_type), 1),
+                         4) AS lev_type
+            FROM part a JOIN part b
+              ON b.p_partkey = a.p_partkey + 1
+            WHERE a.p_partkey <= 500 AND b.p_partkey <= 500""",
+        "n6_house_numbers": r"""
+            SELECT c_custkey,
+                   array_to_string(regexp_extract_all(
+                     upper((c_custkey % 200)::VARCHAR || '-' ||
+                           (c_custkey % 200 + 2)::VARCHAR ||
+                           ' HIGH RD FLAT ' ||
+                           (c_custkey % 12)::VARCHAR ||
+                           chr(65 + (c_custkey % 3)::INT) || ' ' ||
+                           c_mktsegment || ' GU' ||
+                           lpad((c_custkey % 90)::VARCHAR, 2, '0') ||
+                           '1AA'),
+                     '\b(\d+[A-Z]?)\b', 1), ',') AS house_nums
+            FROM customer WHERE c_custkey <= 500""",
+        "f4_token_cosine": """
+            WITH p AS (
+              SELECT a.c_custkey AS id,
+                     a.c_mktsegment || ' ' || a.c_mktsegment ||
+                       ' HIGH ROAD ' || (a.c_custkey % 10)::VARCHAR ||
+                       ' W' || ((a.c_custkey // 7) % 5)::VARCHAR AS sa,
+                     b.c_mktsegment || ' ' || b.c_mktsegment ||
+                       ' HIGH ROAD ' ||
+                       ((a.c_custkey + 4) % 10)::VARCHAR ||
+                       ' W' || ((b.c_custkey // 7) % 5)::VARCHAR AS sb
+              FROM customer a JOIN customer b
+                ON b.c_custkey = a.c_custkey + 1
+              WHERE a.c_custkey <= 500 AND b.c_custkey <= 500),
+            ta AS (SELECT id, tok, count(*)::DOUBLE AS c
+                   FROM (SELECT id, unnest(string_split(sa, ' ')) AS tok
+                         FROM p) GROUP BY id, tok),
+            tb AS (SELECT id, tok, count(*)::DOUBLE AS c
+                   FROM (SELECT id, unnest(string_split(sb, ' ')) AS tok
+                         FROM p) GROUP BY id, tok),
+            na AS (SELECT id, sqrt(sum(c * c)) AS n FROM ta GROUP BY id),
+            nb AS (SELECT id, sqrt(sum(c * c)) AS n FROM tb GROUP BY id),
+            dp AS (SELECT ta.id, sum(ta.c * tb.c) AS d
+                   FROM ta JOIN tb ON ta.id = tb.id AND ta.tok = tb.tok
+                   GROUP BY ta.id)
+            SELECT p.id AS c_custkey,
+                   ROUND(COALESCE(dp.d, 0) / (na.n * nb.n), 4) AS tok_cos,
+                   ROUND(len(list_intersect(
+                             list_distinct(string_split(p.sa, ' ')),
+                             list_distinct(string_split(p.sb, ' '))))::DOUBLE
+                         / LEAST(len(list_distinct(string_split(p.sa, ' '))),
+                                 len(list_distinct(string_split(p.sb, ' ')))),
+                         4) AS tok_ovl
+            FROM p
+            JOIN na ON na.id = p.id
+            JOIN nb ON nb.id = p.id
+            LEFT JOIN dp ON dp.id = p.id""",
         "media_metadata": r"""
             WITH d AS (
               SELECT doc_id, md5('media://img/' || doc_id || '.jpg') AS m
