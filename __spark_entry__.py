@@ -31,6 +31,22 @@ def _fix(name: str) -> str:
     driver process — both sides resolve the same path."""
     return f"/tmp/spark_graft_{name}_{os.getpid()}"
 
+# linkage_full corpus: synthesis parameters chosen (and pytest-gated,
+# tests/test_pipeline.py) so EVERY flagship winner category contributes
+# rows — legacy, historic, exact-canonical, rule-rewrite, blocked-fuzzy,
+# cluster-consensus additions and group-rescue additions. typo-heavy
+# dirt + postcode drops force whole groups past the ladder (rescue),
+# unmatchable docs inside otherwise-matched groups feed consensus, and
+# rule_special groups are J7-decisive.
+LF_SYNTH = dict(seed=23, n_gazetteer=150, n_docs=350, historic_frac=0.10,
+                unmatchable_frac=0.12, rule_special_frac=0.10,
+                rescue_frac=0.08,
+                dirt_weights={"exact": 0.08, "abbrev": 0.15, "typo": 0.40,
+                              "postcode_drop": 0.15,
+                              "postcode_unspaced": 0.05,
+                              "descriptor": 0.07, "uprn_suffix": 0.06,
+                              "multi": 0.04})
+
 EN_STOP_SQL = "('the','and','of','to','a','in','is','it','that','for','was','on','with','as','at','by','be','this')"
 
 # token 5-gram shingle sets + set Jaccard, mirroring
@@ -921,6 +937,79 @@ def q_linkage_consensus(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_linkage_full(spark, sf):
+    """The flagship pipeline END-TO-END, whole output, oracle-checked —
+    the composition the round-4 verdict asked the slices to build up
+    to. The real run_pipeline runs on a corpus whose synthesis
+    parameters make EVERY winner category contribute rows (legacy +
+    historic UPRN validation, exact-canonical, rule-rewrite,
+    blocked-fuzzy, cluster-consensus additions, group-rescue
+    additions; the counts are pytest-gated in
+    tests/test_pipeline.py::test_linkage_full_corpus_exercises_all_paths
+    so corpus drift cannot silently hollow the entry out). Four
+    fixtures are persisted — the scored keep-best pairs (the decision
+    phase's exact input), the unique-address / doc / gazetteer
+    mappings with group keys and token arrays — and the DuckDB oracle
+    re-derives the COMPLETE matches table from them alone by composing
+    the independently-proven slice derivations:
+
+      dm   = deterministic (uprn_clean vs gazetteer: in-gaz legacy /
+             valid-format-absent historic, conf 1.0)
+           UNION ladder fan-out (the linkage_fuzzy ranking window +
+             margin + full accept ladder + decide()'s confidence
+             formula + method string, deterministic-precedence
+             excluded)
+      cons = the linkage_consensus recursive-CTE replay (bipartite
+             doc/uprn + group-anchor edges, transitive closure,
+             majority vote, csize/votes/vote-share gates, banding,
+             group-propagation gate) over the DERIVED dm — not over a
+             persisted doc_matches, so a fan-out/precedence bug
+             upstream corrupts the consensus replay too and the
+             mismatch cannot cancel out
+      resc = the g2_rescue_engine replay (whole-groups-unmatched,
+             longest-rep, hot-token-capped >=2-shared-token blocking,
+             trigram sim mirror, 0.5 gate, 0.65/0.75/0.85 banding)
+             over the same derived dm with the pipeline's production
+             token_df_cap=10000
+
+    and returns dm ∪ cons ∪ resc (disjoint by construction: consensus
+    requires >=2 matched voters in the doc's group, rescue requires a
+    fully-unmatched group). The Spark side returns out['matches']
+    verbatim — every (doc_id, uprn, method, confidence) the flagship
+    emits — so ANY defect anywhere in the engine (normalization,
+    candidate union, scoring, keep-best, decision, fan-out,
+    precedence, CC, consensus, rescue, the final per-doc min_by) that
+    changes one assigned uprn, method label or confidence value
+    row- or hash-mismatches. The score values inside the pairs fixture
+    remain the one engine-computed input, oracled separately
+    (j7_rule_engine trigram mirror, jaro_winkler/f3_levenshtein vs
+    DuckDB built-ins, f6_f11_features)."""
+    from ehdc_llpg_address_matching_spark.pipeline import (PipelineConfig,
+                                                           run_pipeline)
+    from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
+                                                        synth_spark_tables)
+    gaz_df, docs_df, _ = synth_spark_tables(spark, SynthConfig(**LF_SYNTH))
+    out = run_pipeline(spark, docs_df, gaz_df,
+                       PipelineConfig(enable_vector=False))
+    fix = _fix("linkage_full")
+    pc = lambda c: F.coalesce(F.col(c), F.lit("")).alias("postcode")
+    out["scored_pairs"].coalesce(1) \
+        .write.mode("overwrite").parquet(f"{fix}/pairs.parquet")
+    out["unique_addresses"].select("addr_id", "addr_can", pc("postcode")) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{fix}/ua.parquet")
+    out["docs_normalized"] \
+        .select("doc_id", "addr_can", pc("postcode"), "uprn_clean",
+                "group_key", "addr_core", "tokens") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{fix}/docs.parquet")
+    out["gazetteer_prepared"] \
+        .select("uprn", "source_type", "addr_core", "tokens") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{fix}/gaz.parquet")
+    return (out["matches"]
+            .select("doc_id", "uprn", "method",
+                    F.round("confidence", 4).alias("confidence"))
+            .orderBy("doc_id"))
+
+
 # one pipeline run feeds both vector entries: the candidate-set parity
 # check and the end-to-end winners slice — computed once per Spark app
 # and persisted, so the driver's two compare passes read one fixture
@@ -1468,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_exact": q_linkage_exact,
         "linkage_rules": q_linkage_rules,
         "linkage_fuzzy": q_linkage_fuzzy,
+        "linkage_full": q_linkage_full,
         "linkage_phased": q_linkage_phased,
         "linkage_consensus": q_linkage_consensus,
         # rows-only (non-SQL-expressible)
@@ -1497,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
         "/tmp/spark_graft_linkage_fuzzy": _fix("linkage_fuzzy"),
         "/tmp/spark_graft_linkage_consensus": _fix("linkage_consensus"),
         "/tmp/spark_graft_linkage_vector": _fix("linkage_vector"),
+        "/tmp/spark_graft_linkage_full": _fix("linkage_full"),
     }
     out = {}
     for k, v in _oracle_sql_raw().items():
@@ -2215,6 +2306,240 @@ def _oracle_sql_raw() -> dict[str, str]:
         # (min-label), majority vote with max-conf/min-uprn tie-break,
         # csize/votes/vote-share gates, 0.85/0.90/0.95 banding, and
         # the >=2-direct-voters-in-own-group propagation gate
+        # the flagship END-TO-END: the deterministic slice, the
+        # decision-ladder fan-out (with decide()'s confidence formula
+        # and method string), the recursive-CTE consensus replay and
+        # the token-blocked trigram rescue replay — all derived from
+        # the four persisted fixtures alone and composed exactly the
+        # way pipeline.run_pipeline composes the phases. See
+        # q_linkage_full's docstring for the derivation map.
+        "linkage_full": r"""
+            WITH RECURSIVE pairs AS (
+              SELECT * FROM read_parquet(
+                '/tmp/spark_graft_linkage_full/pairs.parquet/*.parquet')),
+            ua AS (
+              SELECT addr_id, addr_can, postcode FROM read_parquet(
+                '/tmp/spark_graft_linkage_full/ua.parquet/*.parquet')),
+            d AS (
+              SELECT doc_id, addr_can, postcode, uprn_clean, group_key,
+                     addr_core, tokens
+              FROM read_parquet(
+                '/tmp/spark_graft_linkage_full/docs.parquet/*.parquet')),
+            gaz AS (
+              SELECT uprn, source_type, addr_core AS g_core, tokens
+              FROM read_parquet(
+                '/tmp/spark_graft_linkage_full/gaz.parquet/*.parquet')),
+            gaz_uprns AS (
+              SELECT DISTINCT uprn FROM gaz
+              WHERE source_type = 'original'),
+            -- 1. deterministic slice (legacy / historic UPRN)
+            det AS (
+              SELECT doc_id, uprn_clean AS uprn,
+                     'legacy_uprn' AS method,
+                     CAST(1.0 AS DOUBLE) AS confidence
+              FROM d WHERE uprn_clean IS NOT NULL
+                AND uprn_clean IN (SELECT uprn FROM gaz_uprns)
+              UNION ALL
+              SELECT doc_id, uprn_clean, 'historic_uprn',
+                     CAST(1.0 AS DOUBLE)
+              FROM d WHERE uprn_clean IS NOT NULL
+                AND length(uprn_clean) BETWEEN 6 AND 12
+                AND uprn_clean NOT IN (SELECT uprn FROM gaz_uprns)),
+            -- 2. decision-ladder winners over the scored pairs
+            ranked AS (
+              SELECT addr_id, uprn, score, pc_match, method_conf,
+                     house_conflict, house_match, house_exact,
+                     validator_ok, d_vague, methods,
+                     list_contains(methods, 'exact_canonical') AS is_exact,
+                     row_number() OVER w AS rnk,
+                     score - coalesce(lead(score) OVER w, 0.0) AS margin,
+                     SUM(CASE WHEN list_contains(methods,
+                                                 'exact_canonical')
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY addr_id) AS n_exact,
+                     SUM(CASE WHEN list_contains(methods,
+                                                 'exact_canonical')
+                               AND pc_match THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY addr_id) AS n_exact_pc
+              FROM pairs
+              WINDOW w AS (PARTITION BY addr_id
+                           ORDER BY score DESC NULLS LAST,
+                                    pc_match DESC NULLS LAST,
+                                    uprn ASC)),
+            win AS (
+              SELECT addr_id, uprn,
+                     array_to_string(methods, '+') AS method,
+                     CASE WHEN d_vague AND method_conf IS NULL
+                            THEN score * 0.5
+                          WHEN d_vague
+                            THEN greatest(score * 0.5, method_conf)
+                          ELSE greatest(score,
+                                        coalesce(method_conf, 0.0))
+                     END AS confidence
+              FROM ranked
+              WHERE rnk = 1 AND score >= 0.60 AND (
+                (is_exact AND (n_exact = 1
+                               OR (pc_match AND n_exact_pc = 1))
+                 AND validator_ok AND NOT d_vague)
+                OR (score >= 0.85 AND margin >= 0.05 AND validator_ok)
+                OR (coalesce(method_conf, 0.0) >= 0.85
+                    AND NOT house_conflict AND margin >= 0.05)
+                OR (score >= 0.78 AND (house_match OR house_exact)
+                    AND margin >= 0.10 AND NOT d_vague))),
+            fuzzy AS (
+              SELECT d.doc_id, w.uprn, w.method, w.confidence
+              FROM d JOIN ua USING (addr_can, postcode)
+              JOIN win w USING (addr_id)
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM det)),
+            dm AS (SELECT * FROM det UNION ALL SELECT * FROM fuzzy),
+            -- 3. consensus additions over the DERIVED dm
+            du AS (
+              SELECT 'd:' || doc_id AS src, 'u:' || uprn AS dst FROM dm),
+            anchors AS (
+              SELECT group_key, MIN(doc_id) AS anchor FROM d
+              WHERE group_key IS NOT NULL GROUP BY group_key),
+            dd AS (
+              SELECT 'd:' || d.doc_id AS src, 'd:' || a.anchor AS dst
+              FROM d JOIN anchors a USING (group_key)
+              WHERE d.doc_id <> a.anchor),
+            e AS (SELECT src, dst FROM du UNION ALL
+                  SELECT src, dst FROM dd),
+            sym AS (SELECT src AS a, dst AS b FROM e
+                    UNION SELECT dst, src FROM e),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b <> r.a
+            ),
+            node AS (SELECT DISTINCT a AS n FROM sym),
+            comp AS (
+              SELECT n.n AS node,
+                     LEAST(n.n, COALESCE(MIN(r.b), n.n)) AS component
+              FROM node n LEFT JOIN reach r ON r.a = n.n GROUP BY n.n),
+            doc_nodes AS (
+              SELECT substr(node, 3) AS doc_id, component
+              FROM comp WHERE node LIKE 'd:%'),
+            votes AS (
+              SELECT c.component, m.uprn, COUNT(*) AS votes,
+                     MAX(m.confidence) AS max_conf
+              FROM dm m JOIN doc_nodes c USING (doc_id)
+              WHERE m.confidence > 0.5
+              GROUP BY c.component, m.uprn),
+            winner AS (
+              SELECT component, uprn, votes FROM (
+                SELECT v.*, ROW_NUMBER() OVER (
+                  PARTITION BY component
+                  ORDER BY votes DESC, max_conf DESC, uprn) AS rn
+                FROM votes v) WHERE rn = 1),
+            stats AS (
+              SELECT c.component, COUNT(*) AS csize,
+                     SUM(CASE WHEN m.doc_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS matched
+              FROM doc_nodes c LEFT JOIN dm m USING (doc_id)
+              GROUP BY c.component),
+            gated AS (
+              SELECT w.component, w.uprn, w.votes
+              FROM winner w JOIN stats s USING (component)
+              WHERE s.csize <= 200 AND w.votes >= 2
+                AND w.votes >= s.matched * 0.4),
+            unm AS (
+              SELECT d.doc_id FROM d LEFT JOIN dm USING (doc_id)
+              WHERE dm.doc_id IS NULL),
+            voter_groups AS (
+              SELECT dg.group_key, m.uprn
+              FROM dm m JOIN d dg USING (doc_id)
+              GROUP BY dg.group_key, m.uprn HAVING COUNT(*) >= 2),
+            cons AS (
+              SELECT a.doc_id, g.uprn,
+                     'cluster_consensus' AS method,
+                     CAST(CASE WHEN g.votes >= 4 THEN 0.95
+                               WHEN g.votes = 3 THEN 0.90
+                               ELSE 0.85 END AS DOUBLE) AS confidence
+              FROM unm a
+              JOIN doc_nodes dn USING (doc_id)
+              JOIN gated g USING (component)
+              JOIN d dx USING (doc_id)
+              JOIN voter_groups vg
+                ON vg.group_key = dx.group_key AND vg.uprn = g.uprn),
+            -- 4. rescue additions over the same derived dm
+            --    (production token_df_cap=10000, min_sim=0.5)
+            members AS (
+              SELECT doc_id, group_key, addr_core, tokens FROM d
+              WHERE group_key IS NOT NULL),
+            matched_groups AS (
+              SELECT DISTINCT m.group_key
+              FROM members m JOIN dm USING (doc_id)),
+            unmatched_g AS (
+              SELECT * FROM members
+              WHERE group_key NOT IN (SELECT group_key
+                                      FROM matched_groups)),
+            rep AS (
+              SELECT group_key, addr_core, tokens FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY group_key
+                         ORDER BY length(addr_core) DESC,
+                                  addr_core DESC) AS rn
+                FROM unmatched_g) WHERE rn = 1),
+            hot AS (
+              SELECT tok FROM (
+                SELECT unnest(list_distinct(tokens)) AS tok FROM gaz)
+              GROUP BY tok HAVING COUNT(*) > 10000),
+            rep_tok AS (
+              SELECT group_key, addr_core,
+                     unnest(list_distinct(tokens)) AS tok
+              FROM rep),
+            rep_tok_r AS (
+              SELECT * FROM rep_tok
+              WHERE tok NOT IN (SELECT tok FROM hot)),
+            g_tok AS (
+              SELECT uprn, g_core,
+                     unnest(list_distinct(tokens)) AS tok
+              FROM gaz),
+            g_tok_r AS (
+              SELECT * FROM g_tok
+              WHERE tok NOT IN (SELECT tok FROM hot)),
+            cand AS (
+              SELECT group_key, addr_core, uprn, g_core
+              FROM rep_tok_r a JOIN g_tok_r b USING (tok)
+              GROUP BY ALL HAVING COUNT(*) >= 2),
+            strs AS (
+              SELECT addr_core AS s FROM cand
+              UNION SELECT g_core FROM cand),
+            grams AS (
+              SELECT s, list_distinct(flatten(list_transform(
+                       list_filter(string_split(s, ' '), w -> w <> ''),
+                       w -> list_transform(
+                         range(1, length('  ' || w || ' ') - 1),
+                         i -> substr('  ' || w || ' ',
+                                     CAST(i AS INT), 3))))) AS gset
+              FROM strs),
+            sims AS (
+              SELECT c.*,
+                CASE WHEN len(ga.gset) = 0 OR len(gb.gset) = 0 THEN 0.0
+                     ELSE len(list_intersect(ga.gset, gb.gset)) * 1.0 /
+                          (len(ga.gset) + len(gb.gset)
+                           - len(list_intersect(ga.gset, gb.gset)))
+                END AS sim
+              FROM cand c JOIN grams ga ON ga.s = c.addr_core
+                          JOIN grams gb ON gb.s = c.g_core),
+            rwin AS (
+              SELECT group_key, uprn, sim FROM (
+                SELECT s.*, ROW_NUMBER() OVER (PARTITION BY group_key
+                         ORDER BY sim DESC, uprn) AS rn FROM sims s)
+              WHERE rn = 1 AND sim >= 0.5),
+            resc AS (
+              SELECT u.doc_id, w.uprn, 'group_rescue' AS method,
+                     CAST(CASE WHEN w.sim >= 0.8 THEN 0.85
+                               WHEN w.sim >= 0.65 THEN 0.75
+                               ELSE 0.65 END AS DOUBLE) AS confidence
+              FROM unmatched_g u JOIN rwin w USING (group_key))
+            SELECT doc_id, uprn, method,
+                   ROUND(confidence, 4) AS confidence FROM dm
+            UNION ALL SELECT doc_id, uprn, method,
+                   ROUND(confidence, 4) FROM cons
+            UNION ALL SELECT doc_id, uprn, method,
+                   ROUND(confidence, 4) FROM resc
+            ORDER BY doc_id""",
         "linkage_consensus": r"""
             WITH RECURSIVE dm AS (
               SELECT doc_id, uprn, confidence FROM read_parquet(

@@ -113,6 +113,17 @@ class SynthConfig:
     # output to older corpora for every existing seed (no extra rng
     # draws, no extra gazetteer rows).
     rule_special_frac: float = 0.0
+    # share of groups rendered as G2-rescue-DECISIVE street fragments:
+    # every member of the group carries the SAME house-number-less,
+    # postcode-less render of the target (street words + locality
+    # only), so no member clears the decision ladder (no house_match
+    # for the medium rung, near-zero margins against same-street
+    # neighbours for the high/method-conf rungs) and the whole group
+    # goes unmatched — only the group-rescue trigram path
+    # (operators/rescue.py, reference cmd/matcher-v2/main.go:1367-1594)
+    # can assign it. Same 0.0 = byte-identical-seeds contract as
+    # rule_special_frac.
+    rescue_frac: float = 0.0
 
 
 # J7-decisive gazetteer rows + the doc-side variant that only the
@@ -351,6 +362,10 @@ def build_documents(cfg: SynthConfig, gaz: pd.DataFrame) -> tuple[pd.DataFrame, 
             rng.random() < cfg.historic_frac
         hist_uprn = str(500000000 + int(grow.uprn) % 100000000) \
             if historic else None
+        # rescue-decisive group: one shared ladder-defeating fragment
+        # render for every member (see SynthConfig.rescue_frac)
+        rescue_group = special_variant is None and not historic and \
+            cfg.rescue_frac > 0 and rng.random() < cfg.rescue_frac
         group_gold_rows = []
         group_matchable = 0
         for _ in range(gsize):
@@ -363,6 +378,16 @@ def build_documents(cfg: SynthConfig, gaz: pd.DataFrame) -> tuple[pd.DataFrame, 
                 parts_s = [p.strip() for p in grow.full_address.split(",")]
                 raw = f"{special_variant}, {parts_s[1]}, {parts_s[2]}"
                 raw_uprn, profile, true_uprn = None, "rule_special", grow.uprn
+                easting = northing = None
+                unmatchable = False
+            elif rescue_group:
+                parts_s = [p.strip() for p in grow.full_address.split(",")]
+                street_words = parts_s[0].split()
+                if street_words and street_words[0][:1].isdigit():
+                    street_words = street_words[1:]
+                raw = f"{' '.join(street_words)}, {parts_s[1]}"
+                raw_uprn, profile = None, "rescue_fragment"
+                true_uprn = grow.uprn
                 easting = northing = None
                 unmatchable = False
             elif unmatchable:

@@ -230,3 +230,38 @@ def test_auto_tune_thresholds_in_pipeline(spark):
     prec, f1 = _prec_f1(out, gold)
     assert prec >= 0.99, f"tuned precision {prec:.4f}"
     assert f1 >= 0.99, f"tuned F1 {f1:.4f}"
+
+
+def test_linkage_full_corpus_exercises_all_paths(spark):
+    """Gate for the linkage_full oracle entry (__spark_entry__.LF_SYNTH):
+    the corpus must keep EVERY flagship winner category contributing
+    rows, or the end-to-end oracle silently stops covering the paths it
+    claims to. Also pins the rescue_frac synth contract: a rescue group
+    must reach the matcher whole-group-unmatched (no consensus overlap)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import LF_SYNTH
+
+    cfg = SynthConfig(**LF_SYNTH)
+    gaz, docs, gold = synth_tables(cfg)
+    out = run_pipeline(spark, spark.createDataFrame(docs),
+                       spark.createDataFrame(gaz),
+                       PipelineConfig(enable_vector=False))
+    m = out["matches"].toPandas()
+    by_cat = {
+        "legacy": (m.method == "legacy_uprn").sum(),
+        "historic": (m.method == "historic_uprn").sum(),
+        "exact": m.method.str.contains("exact_canonical").sum(),
+        "rule": m.method.str.contains("rule_").sum(),
+        "fuzzy": ((~m.method.str.contains("exact_canonical"))
+                  & m.method.str.contains("blocked_fuzzy")).sum(),
+        "consensus": (m.method == "cluster_consensus").sum(),
+        "rescue": (m.method == "group_rescue").sum(),
+    }
+    missing = [k for k, v in by_cat.items() if v == 0]
+    assert not missing, f"linkage_full corpus lost categories: {missing} ({by_cat})"
+    # rescue groups are whole-group corrections: every member of a
+    # rescued group carries the same uprn
+    resc = m[m.method == "group_rescue"].merge(
+        gold[["doc_id", "group_key"]], on="doc_id")
+    assert (resc.groupby("group_key").uprn.nunique() == 1).all()
