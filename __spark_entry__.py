@@ -616,34 +616,32 @@ def q_linkage_deterministic(spark, sf):
 
 
 def q_linkage_phased(spark, sf):
-    """The PHASED (resumable, warehouse-snapshot) runner on the same
-    corpus as linkage_deterministic, oracle-checked on the same
-    deterministic slice — so phased-vs-monolithic parity is
-    driver-verified, not only pytest-verified (round-4 verdict: the
-    phased runner silently omitted the hierarchical generator and only
-    a fixture-dependent pytest stood between that and production).
-    The oracle re-derives every legacy/historic UPRN match from
-    (raw_uprn, gazetteer uprns) alone; the returned rows come from the
-    PHASED runner's matches, so a phase that drops, reassigns or
-    re-scores any deterministic match hash-mismatches."""
+    """The PHASED (resumable, warehouse-snapshot) runner on the SAME
+    all-categories corpus as linkage_full, held to the SAME composed
+    end-to-end oracle (deterministic ∪ decision-ladder fan-out ∪
+    consensus replay ∪ rescue replay over the phased runner's OWN
+    persisted snapshot frames). Until round 5 this entry checked only
+    the deterministic slice; now phased-vs-monolithic parity is
+    driver-verified across every winner category — including the
+    hierarchical generator the round-4 verdict caught the phased
+    runner silently omitting, and the per-phase reassembly of
+    consensus + rescue. A phase that drops, reassigns or re-scores
+    ANY match (or a warehouse save/reload that perturbs one value)
+    hash-mismatches. The scored_pairs fixture here is the runner's
+    p4 snapshot TABLE read back through the Warehouse — so the
+    resume path's round-trip fidelity is itself under test."""
     from ehdc_llpg_address_matching_spark.pipeline import PipelineConfig
     from ehdc_llpg_address_matching_spark.plans.phases import run_phased
     from ehdc_llpg_address_matching_spark.sources.catalog import Warehouse
     from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
                                                         synth_spark_tables)
-    gaz_df, docs_df, _ = synth_spark_tables(
-        spark, SynthConfig(seed=31, n_gazetteer=100, n_docs=150,
-                           historic_frac=0.25))
+    gaz_df, docs_df, _ = synth_spark_tables(spark, SynthConfig(**LF_SYNTH))
     fix = _fix("linkage_phased")
-    docs_df.select("doc_id", "raw_uprn").coalesce(1) \
-        .write.mode("overwrite").parquet(f"{fix}/docs.parquet")
-    gaz_df.select("uprn").coalesce(1) \
-        .write.mode("overwrite").parquet(f"{fix}/gaz.parquet")
     wh = Warehouse(spark, f"{fix}/wh")
     out = run_phased(spark, docs_df, gaz_df, wh, run_id="oracle",
                      cfg=PipelineConfig(enable_vector=False), force=True)
+    _write_linkage_full_fixtures(out, fix)
     return (out["matches"]
-            .filter(F.col("method").isin("legacy_uprn", "historic_uprn"))
             .select("doc_id", "uprn", "method",
                     F.round("confidence", 4).alias("confidence"))
             .orderBy("doc_id"))
@@ -1609,15 +1607,13 @@ def oracle_sql() -> dict[str, str]:
         for lit, real in reps.items():
             v = v.replace(lit, real)
         out[k] = v
-    # the phased runner is held to the SAME deterministic-slice oracle
-    # as the monolithic pipeline, just over its own fixture dir — the
-    # derivation is identical by construction
-    out["linkage_phased"] = out["linkage_deterministic"].replace(
-        _fix("linkage_det"), _fix("linkage_phased"))
-    # the flagship smoke corpus is held to the SAME composed end-to-end
-    # derivation as linkage_full, over its own fixture dir
+    # the flagship smoke corpus AND the phased runner are held to the
+    # SAME composed end-to-end derivation as linkage_full, each over
+    # its own fixture dir
     out["linkage_pipeline"] = out["linkage_full"].replace(
         _fix("linkage_full"), _fix("linkage_pipeline"))
+    out["linkage_phased"] = out["linkage_full"].replace(
+        _fix("linkage_full"), _fix("linkage_phased"))
     return out
 
 

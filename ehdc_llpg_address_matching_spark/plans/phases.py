@@ -122,7 +122,14 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     p3 = phase("p3_candidates", _p3, {"candidates": lambda c: c})
     cands = p3["candidates"]
 
-    # -- p4: scoring + decision
+    # -- p4: scoring + decision. The scored keep-best pairs are a
+    # snapshot table of their own: they are the decision phase's exact
+    # input, so a resumed run can re-decide with NEW thresholds (or an
+    # auditor can replay the ladder — the composed linkage_full/
+    # linkage_phased oracle does exactly that) without re-running
+    # candidate generation + the Arrow scoring UDF, the expensive 90%
+    # of the phase (reference layer-resume semantics,
+    # cmd/matcher-v2/main.go:3389-3421).
     def _p4():
         pairs = S.attach_pair_attrs(cands, uaddr, gazp)
         pairs = S.prefilter_pairs(S.with_column_features(pairs))
@@ -131,9 +138,11 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         best = D.keep_best_per_uprn(D.narrow_for_decision(pairs))
         dec = D.decide(best, cfg.thresholds, cfg.top_k_audit)
         # d_core/g_core ride DECISION_COLS — no second attach join
-        return S.with_audit_levenshtein(dec)
+        return {"best": best, "dec": S.with_audit_levenshtein(dec)}
 
-    p4 = phase("p4_scoring", _p4, {"audit_candidates": lambda d: d})
+    p4 = phase("p4_scoring", _p4,
+               {"scored_pairs": lambda x: x["best"],
+                "audit_candidates": lambda x: x["dec"]})
     decided = p4["audit_candidates"]
 
     # -- p5: fan-out + legacy/historic overrides. _det=1 marks the
@@ -233,6 +242,7 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         "docs_normalized": docs_n,
         "unique_addresses": uaddr,
         "candidates": cands,
+        "scored_pairs": p4["scored_pairs"],
         "audit_candidates": decided,
         "doc_matches": doc_matches,
         "historic_gazetteer": p5["historic_gazetteer"],
