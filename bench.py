@@ -631,10 +631,15 @@ def run_scaling() -> dict:
     # never be lost to a companion point
     if CPUS >= 32 and not aborted and _fits_another():
         try:
+            # cheaper sessions than the primary local[2] pole, so the
+            # large-level cap from _caps() fits both; re-evaluated
+            # between the two so the second yields to the wall too
             cs = _scale_session_subprocess(pairs_path, n_small * 2,
-                                           timeout=_session_timeout())
+                                           timeout=_caps()[1],
+                                           n_rows=degraded_rows)
             cl = _scale_session_subprocess(pairs_path, n_large * 2,
-                                           timeout=_session_timeout())
+                                           timeout=_caps()[1],
+                                           n_rows=degraded_rows)
             out["ceiling_4_to_16"] = {
                 "n_small": n_small * 2, "n_large": n_large * 2,
                 "pairs_per_sec_small": cs["pairs_per_sec"],
