@@ -128,6 +128,20 @@ def run_linkage(spark, docs_path: str, gaz_path: str,
         del out_dict
         gc.collect()
         spark.catalog.clearCache()
+        # clearCache() does NOT release localCheckpoint RDD blocks —
+        # those are reclaimed by the JVM ContextCleaner only after the
+        # JVM itself GCs the dereferenced RDD objects, which lags
+        # asynchronously behind the python-side gc. A timed run that
+        # starts while the previous run's checkpoint blocks still
+        # occupy the storage pool pays eviction + GC pressure inside
+        # its wall (round-5 measured a 52 s -> 87 s third run from
+        # exactly this). Force the JVM GC and give the cleaner a
+        # moment; both happen between timed sections.
+        try:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
+        except Exception:
+            pass
 
     t0 = time.time()
     warm = run_pipeline(spark, docs, gaz, PipelineConfig())
