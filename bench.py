@@ -675,6 +675,18 @@ def run_scaling() -> dict:
             }
         except Exception:
             out["ceiling_4_to_16"] = {"error": traceback.format_exc(limit=2)}
+    if "ceiling_4_to_16" not in out:
+        out["ceiling_4_to_16"] = {
+            "skipped": ("insufficient wall budget after the primary "
+                        "2->8 pairs (the primary estimate is never "
+                        "sacrificed for this diagnostic)"),
+            "note": ("companion point only: at 4->16 slots half the "
+                     "box's 32 cores saturate shared DRAM and measured "
+                     "efficiency reads ~0.7 for the UDF-only and full "
+                     "phase alike — a single-box bandwidth ceiling, "
+                     "not a distributed-design property; measured "
+                     "numbers in BASELINE.md round-4 table"),
+        }
     return out
 
 
