@@ -28,8 +28,25 @@ def _fix(name: str) -> str:
     on one box must not clobber each other's fixture parquet between
     the Spark write and the DuckDB oracle read (round-4 advice). The
     pid token is shared by queries() and oracle_sql() within one
-    driver process — both sides resolve the same path."""
-    return f"/tmp/spark_graft_{name}_{os.getpid()}"
+    driver process — both sides resolve the same path. Dirs are
+    removed at interpreter exit (the oracle read happens in-process,
+    before exit), so repeated runs don't strand parquet under /tmp."""
+    path = f"/tmp/spark_graft_{name}_{os.getpid()}"
+    _FIX_DIRS.add(path)
+    return path
+
+
+_FIX_DIRS: set[str] = set()
+
+
+def _cleanup_fix_dirs() -> None:
+    import shutil
+    for p in _FIX_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+atexit.register(_cleanup_fix_dirs)
 
 # linkage_full corpus: synthesis parameters chosen (and pytest-gated,
 # tests/test_pipeline.py) so EVERY flagship winner category contributes

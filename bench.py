@@ -31,7 +31,7 @@ the Spark context twice).
 Round-5 hardening (after a loaded-box run where the materialize alone
 took 50 min and the 4500 s scaling-subprocess timeout discarded the
 WHOLE section): the scaling phase is wall-budgeted end-to-end
-(BENCH_SCALING_WALL, default 3900 s, materialize included), session
+(BENCH_SCALING_WALL, default 4200 s, materialize included), session
 subprocess timeouts tighten to the remaining budget, later session
 pairs run only if the measured cost of the previous pair fits, and a
 session failure after >= 1 completed pair emits a partial artifact
@@ -118,14 +118,17 @@ def run_linkage(spark, docs_path: str, gaz_path: str,
     docs = spark.read.parquet(docs_path)
     gaz = spark.read.parquet(gaz_path)
 
-    def _clear(out_dict):
+    def _clear():
         # each run leaves ~8 cached/checkpointed RDDs pinned
         # (gazp/docs_n/uaddr caches + phase localCheckpoints);
         # accumulation over repeats showed up as 40 s -> 84-96 s
         # second runs. Clear between timed runs — each run builds
         # a fresh DataFrame chain anyway, so no warm-cache is lost.
+        # The caller must drop its own reference to the pipeline
+        # output BEFORE calling this: a `del` on a parameter only
+        # unbinds the local name, leaving the caller's dict (and its
+        # checkpointed RDDs) alive through both GC passes.
         import gc
-        del out_dict
         gc.collect()
         spark.catalog.clearCache()
         # clearCache() does NOT release localCheckpoint RDD blocks —
@@ -147,7 +150,8 @@ def run_linkage(spark, docs_path: str, gaz_path: str,
     warm = run_pipeline(spark, docs, gaz, PipelineConfig())
     warm["matches"].count()
     warmup_wall = round(time.time() - t0, 2)
-    _clear(warm)
+    warm = None
+    _clear()
 
     wall, walls = float("inf"), []
     for i in range(n_runs):
@@ -157,7 +161,8 @@ def run_linkage(spark, docs_path: str, gaz_path: str,
         walls.append(round(time.time() - t0, 2))
         wall = min(wall, walls[-1])
         if i < n_runs - 1:
-            _clear(out)
+            out = None
+            _clear()
     n_pairs = out["audit_candidates"].count()  # scored candidate pairs kept
     n_cand = out["candidates"].count()
     n_docs = docs.count()
@@ -757,10 +762,19 @@ def main():
         try:
             time.sleep(5)  # let the headline JVM's workers exit
             import subprocess
+            # kill deadline = the child's internal wall budget plus
+            # headroom for one floored session pair (2 x 300 s) and
+            # startup/teardown: the child's _caps() floors mean its
+            # worst-case lifetime can exceed the wall itself, and a
+            # flat 4500 s kill on a 4200 s wall discarded the partial
+            # artifact the child was about to print.
+            child_wall = float(os.environ.get("BENCH_SCALING_WALL",
+                                              "4200"))
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--scaling-only"],
-                capture_output=True, text=True, timeout=4500)
+                capture_output=True, text=True,
+                timeout=child_wall + 900)
             if r.returncode == 0 and r.stdout.strip():
                 scaling = json.loads(r.stdout.strip().splitlines()[-1])
             else:

@@ -68,7 +68,13 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
 
     def phase(name: str, compute, tables: dict[str, "callable"]):
         """tables: output-name -> thunk returning the DataFrame."""
-        if not force and wh.phase_done(name):
+        # Resume only if EVERY requested table exists: a warehouse
+        # committed by an older engine version may carry the phase
+        # marker but fewer output tables (e.g. p4 before scored_pairs
+        # existed) — loading would crash mid-resume, so recompute the
+        # phase instead.
+        if (not force and wh.phase_done(name)
+                and all(wh.exists(t) for t in tables)):
             return {t: strip_lineage(wh.load(t)) for t in tables}
         out = {}
         computed = compute()
@@ -109,8 +115,19 @@ def run_phased(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
         if cfg.enable_spatial:
             gens.append(C.cand_spatial(uaddr, gazp, cfg.spatial_radius_m))
         if cfg.enable_vector and "embedding" in gazp.columns:
-            gens.append(C.cand_vector(uaddr, gazp, 0, cfg.vector_top_k,
-                                      cfg.vector_min_sim))
+            # honor cfg.vector_mode exactly like pipeline.py: the IVF
+            # path exists for gazetteers too large to collect/broadcast,
+            # and the two runners must produce the same candidate set.
+            if cfg.vector_mode == "ivf":
+                gens.append(C.cand_vector_ivf(uaddr, gazp,
+                                              top_k=cfg.vector_top_k,
+                                              min_sim=cfg.vector_min_sim,
+                                              n_cells=cfg.ivf_cells,
+                                              n_probe=cfg.ivf_probe))
+            else:
+                gens.append(C.cand_vector(uaddr, gazp, 0,
+                                          cfg.vector_top_k,
+                                          cfg.vector_min_sim))
         # J5 hierarchical cascade LAST, mirroring pipeline.py: a doc
         # matchable ONLY via the phonetic/locality levels (no postcode,
         # trigram-block-defeating typo) must match identically under

@@ -238,3 +238,54 @@ def test_phased_matches_monolithic_parity(spark, tmp_path, corpus):
     assert ("DHIER01", "999000001") in mm
     assert ("DHIER01", "999000001") in mp
     assert mp == mm
+
+
+def test_phased_resume_recomputes_phase_missing_a_table(spark, tmp_path,
+                                                        corpus):
+    """A warehouse committed by an OLDER engine version can carry a
+    phase marker but fewer output tables than the current code declares
+    (p4_scoring gained scored_pairs in round 5). Resume must recompute
+    that phase instead of crashing on wh.load of the absent table
+    (round-5 review finding: phase() trusted the marker alone)."""
+    docs, gaz, gold = corpus
+    wh = Warehouse(spark, str(tmp_path / "wh_oldver"))
+    out1 = run_phased(spark, docs, gaz, wh, run_id="r1", cfg=CFG)
+    n1 = out1["matches"].count()
+    # simulate the old snapshot: p4 committed, scored_pairs never saved
+    m = wh._manifest()
+    del m["tables"]["scored_pairs"]
+    m["phases"]["p4_scoring"]["tables"] = ["audit_candidates"]
+    wh._save_manifest(m)
+    assert wh.phase_done("p4_scoring") and not wh.exists("scored_pairs")
+    out2 = run_phased(spark, docs, gaz, wh, run_id="r2", cfg=CFG)
+    assert out2["matches"].count() == n1
+    assert wh.exists("scored_pairs")  # recomputed and re-saved
+
+
+def test_phased_honors_ivf_vector_mode(spark, tmp_path):
+    """run_phased must route J9 through the SAME vector path as the
+    monolithic pipeline (round-5 review finding: p3 ignored
+    cfg.vector_mode and always broadcast — at the 10^8-row gazetteer
+    IVF exists for, that collects the full embedding matrix to the
+    driver). n_probe = n_cells makes IVF exact, so phased-IVF matches
+    must equal monolithic-IVF matches, with vector candidates present."""
+    from ehdc_llpg_address_matching_spark.pipeline import run_pipeline
+    from ehdc_llpg_address_matching_spark.synth import (SynthConfig,
+                                                        synth_tables)
+    cfg = PipelineConfig(vector_mode="ivf", ivf_cells=8, ivf_probe=8,
+                         enable_spatial=False, enable_symspell=False)
+    sgaz, sdocs, _ = synth_tables(SynthConfig(seed=13, n_gazetteer=120,
+                                              n_docs=150))
+    d, g = spark.createDataFrame(sdocs), spark.createDataFrame(sgaz)
+    wh = Warehouse(spark, str(tmp_path / "wh_ivf"))
+    out_p = run_phased(spark, d, g, wh, run_id="ri", cfg=cfg)
+    out_m = run_pipeline(spark, d, g, cfg)
+    mp = {(r["doc_id"], r["uprn"])
+          for r in out_p["matches"].select("doc_id", "uprn").collect()}
+    mm = {(r["doc_id"], r["uprn"])
+          for r in out_m["matches"].select("doc_id", "uprn").collect()}
+    assert mp == mm
+    methods = (out_p["candidates"]
+               .select(F.explode("methods").alias("m"))
+               .select("m").distinct().toPandas().m.tolist())
+    assert "vector" in methods

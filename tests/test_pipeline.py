@@ -238,8 +238,6 @@ def test_linkage_full_corpus_exercises_all_paths(spark):
     rows, or the end-to-end oracle silently stops covering the paths it
     claims to. Also pins the rescue_frac synth contract: a rescue group
     must reach the matcher whole-group-unmatched (no consensus overlap)."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     from __spark_entry__ import LF_SYNTH
 
     cfg = SynthConfig(**LF_SYNTH)
