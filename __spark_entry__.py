@@ -664,6 +664,26 @@ def q_linkage_phased(spark, sf):
             .orderBy("doc_id"))
 
 
+def _det_docs(dz, gz):
+    """Doc-ids claimed by the DETERMINISTIC slice (J1 legacy-UPRN
+    validation + J1b historic-UPRN creation), to EXCLUDE from each
+    fuzzy-slice oracle entry so the winner categories stay disjoint.
+    ONE definition shared by the exact / rules / fuzzy / vector slice
+    entries — drift here desynchronizes the Spark slice selection from
+    the SQL mirrors' `det` CTE, which replays the same rule."""
+    gaz_uprns = gz.filter(F.col("source_type") == "original") \
+        .select("uprn").distinct()
+    return (dz.filter(F.col("uprn_clean").isNotNull())
+            .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
+                  "left_semi")
+            .select("doc_id")
+            .unionByName(
+                dz.filter(F.col("uprn_clean").isNotNull() &
+                          F.length("uprn_clean").between(6, 12))
+                .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
+                      "left_anti").select("doc_id")))
+
+
 def q_linkage_exact(spark, sf):
     """The flagship pipeline's EXACT-CANONICAL slice, oracle-checked
     end-to-end (reference: internal/engine/deterministic.go:146-178 —
@@ -728,17 +748,7 @@ def q_linkage_exact(spark, sf):
                         .when(F.col("n_pc") == 1, F.col("pc_uprn")))
            .filter(F.col("exp_uprn").isNotNull())
            .select("addr_can", "postcode"))
-    gaz_uprns = gz.filter(F.col("source_type") == "original") \
-        .select("uprn").distinct()
-    det_docs = (dz.filter(F.col("uprn_clean").isNotNull())
-                .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
-                      "left_semi")
-                .select("doc_id")
-                .unionByName(
-                    dz.filter(F.col("uprn_clean").isNotNull() &
-                              F.length("uprn_clean").between(6, 12))
-                    .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
-                          "left_anti").select("doc_id")))
+    det_docs = _det_docs(dz, gz)
     slice_docs = (dz.join(win, ["addr_can", "postcode"], "left_semi")
                   .join(det_docs, "doc_id", "left_anti")
                   .select("doc_id"))
@@ -811,17 +821,7 @@ def q_linkage_rules(spark, sf):
             .filter(F.col("_n") == 1))
     no_exact = ua.join(gz, ua.addr_core == gz.g_core, "left_anti") \
         .select("addr_id", "addr_can", "postcode")
-    gaz_uprns = gz.filter(F.col("source_type") == "original") \
-        .select("uprn").distinct()
-    det_docs = (dz.filter(F.col("uprn_clean").isNotNull())
-                .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
-                      "left_semi")
-                .select("doc_id")
-                .unionByName(
-                    dz.filter(F.col("uprn_clean").isNotNull() &
-                              F.length("uprn_clean").between(6, 12))
-                    .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
-                          "left_anti").select("doc_id")))
+    det_docs = _det_docs(dz, gz)
     slice_docs = (dz.join(no_exact.join(uniq, "addr_id", "left_semi"),
                           ["addr_can", "postcode"], "left_semi")
                   .join(det_docs, "doc_id", "left_anti")
@@ -893,17 +893,7 @@ def q_linkage_fuzzy(spark, sf):
     # independently in SQL — a decide() bug desynchronizes the two
     # slice selections and fails the row-count compare)
     winners = D.accepted(D.decide(pairs)).select("addr_id")
-    gaz_uprns = gz.filter(F.col("source_type") == "original") \
-        .select("uprn").distinct()
-    det_docs = (dz.filter(F.col("uprn_clean").isNotNull())
-                .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
-                      "left_semi")
-                .select("doc_id")
-                .unionByName(
-                    dz.filter(F.col("uprn_clean").isNotNull() &
-                              F.length("uprn_clean").between(6, 12))
-                    .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
-                          "left_anti").select("doc_id")))
+    det_docs = _det_docs(dz, gz)
     slice_docs = (dz.join(ua, ["addr_can", "postcode"])
                   .join(winners, "addr_id", "left_semi")
                   .join(det_docs, "doc_id", "left_anti")
@@ -1171,17 +1161,7 @@ def q_linkage_vector(spark, sf):
     ua = spark.read.parquet(f"{fx['fix']}/ua.parquet") \
         .select("addr_id", "addr_can", "postcode")
     gz = spark.read.parquet(f"{fx['fix']}/gaz.parquet")
-    gaz_uprns = gz.filter(F.col("source_type") == "original") \
-        .select("uprn").distinct()
-    det_docs = (dz.filter(F.col("uprn_clean").isNotNull())
-                .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
-                      "left_semi")
-                .select("doc_id")
-                .unionByName(
-                    dz.filter(F.col("uprn_clean").isNotNull() &
-                              F.length("uprn_clean").between(6, 12))
-                    .join(gaz_uprns, dz.uprn_clean == gaz_uprns.uprn,
-                          "left_anti").select("doc_id")))
+    det_docs = _det_docs(dz, gz)
     slice_docs = (dz.join(ua, ["addr_can", "postcode"])
                   .join(winners, "addr_id", "left_semi")
                   .join(det_docs, "doc_id", "left_anti")
@@ -1634,6 +1614,94 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+# ---- shared DuckDB fragments: the decide()-ladder mirror -----------
+# ONE copy of the D5/D6/D8 decision-ladder SQL (ranked window + accept
+# rungs) and the deterministic-slice exclusion, composed into every
+# end-to-end slice entry (linkage_fuzzy / linkage_vector / linkage_full
+# — and via path rewrite linkage_pipeline / linkage_phased).
+# tests/test_fuzzy_oracle_mirror.py gates this single copy against
+# operators/decision.decide() on an adversarial fixture; before this
+# helper the ladder was pasted per entry and only the linkage_fuzzy
+# copy was test-anchored, so the other copies could drift silently.
+
+_SQL_WIN_FUZZY = "SELECT addr_id, uprn FROM ranked"
+
+# decide()'s confidence formula + '+'-joined method string (the
+# linkage_full derivation carries winners forward into consensus)
+_SQL_WIN_FULL = """SELECT addr_id, uprn,
+                     array_to_string(methods, '+') AS method,
+                     CASE WHEN d_vague AND method_conf IS NULL
+                            THEN score * 0.5
+                          WHEN d_vague
+                            THEN greatest(score * 0.5, method_conf)
+                          ELSE greatest(score,
+                                        coalesce(method_conf, 0.0))
+                     END AS confidence
+              FROM ranked"""
+
+# linkage_vector restriction: winner must carry the 'vector' method
+# AND be justified by the oracle's own cosine-gate candidate set (vc)
+_SQL_VEC_GUARD = """is_vec
+                AND EXISTS (SELECT 1 FROM vc
+                            WHERE vc.addr_id = ranked.addr_id
+                              AND vc.uprn = ranked.uprn)
+                AND """
+
+
+def _sql_ladder(extra_cols: str = "", extra_flags: str = "",
+                win_head: str = _SQL_WIN_FUZZY,
+                win_guard: str = "") -> str:
+    """ranked + win CTEs: decide()'s tiered accept ladder in DuckDB
+    SQL (decision.py:79-160 — minimum floor, exact-unique /
+    postcode-disambiguated exact, high+margin, method-confidence,
+    medium+house rungs). Callers prepend a `pairs` CTE and append
+    their slice-specific tail."""
+    return f"""ranked AS (
+              SELECT addr_id, uprn, score, pc_match, method_conf,
+                     house_conflict, house_match, house_exact,
+                     validator_ok, d_vague,{extra_cols}
+                     list_contains(methods, 'exact_canonical') AS is_exact,{extra_flags}
+                     row_number() OVER w AS rnk,
+                     score - coalesce(lead(score) OVER w, 0.0) AS margin,
+                     SUM(CASE WHEN list_contains(methods,
+                                                 'exact_canonical')
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY addr_id) AS n_exact,
+                     SUM(CASE WHEN list_contains(methods,
+                                                 'exact_canonical')
+                               AND pc_match THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY addr_id) AS n_exact_pc
+              FROM pairs
+              WINDOW w AS (PARTITION BY addr_id
+                           ORDER BY score DESC NULLS LAST,
+                                    pc_match DESC NULLS LAST,
+                                    uprn ASC)),
+            win AS (
+              {win_head}
+              WHERE rnk = 1 AND score >= 0.60 AND {win_guard}(
+                (is_exact AND (n_exact = 1
+                               OR (pc_match AND n_exact_pc = 1))
+                 AND validator_ok AND NOT d_vague)
+                OR (score >= 0.85 AND margin >= 0.05 AND validator_ok)
+                OR (coalesce(method_conf, 0.0) >= 0.85
+                    AND NOT house_conflict AND margin >= 0.05)
+                OR (score >= 0.78 AND (house_match OR house_exact)
+                    AND margin >= 0.10 AND NOT d_vague)))"""
+
+
+# the deterministic-slice exclusion + doc fan-out shared by the
+# linkage_fuzzy and linkage_vector entries (SQL mirror of _det_docs)
+_SQL_DET_TAIL = """det AS (
+              SELECT doc_id FROM d
+              WHERE uprn_clean IS NOT NULL
+                AND (uprn_clean IN (SELECT uprn FROM gaz_uprns)
+                     OR length(uprn_clean) BETWEEN 6 AND 12))
+            SELECT d.doc_id, w.uprn
+            FROM d JOIN ua USING (addr_can, postcode)
+            JOIN win w USING (addr_id)
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM det)"""
+
+
 def _oracle_sql_raw() -> dict[str, str]:
     return {
         "f6_f11_features": r"""
@@ -2043,46 +2111,8 @@ def _oracle_sql_raw() -> dict[str, str]:
               SELECT DISTINCT uprn FROM read_parquet(
                 '/tmp/spark_graft_linkage_fuzzy/gaz.parquet/*.parquet')
               WHERE source_type = 'original'),
-            ranked AS (
-              SELECT addr_id, uprn, score, pc_match, method_conf,
-                     house_conflict, house_match, house_exact,
-                     validator_ok, d_vague,
-                     list_contains(methods, 'exact_canonical') AS is_exact,
-                     row_number() OVER w AS rnk,
-                     score - coalesce(lead(score) OVER w, 0.0) AS margin,
-                     SUM(CASE WHEN list_contains(methods,
-                                                 'exact_canonical')
-                              THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY addr_id) AS n_exact,
-                     SUM(CASE WHEN list_contains(methods,
-                                                 'exact_canonical')
-                               AND pc_match THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY addr_id) AS n_exact_pc
-              FROM pairs
-              WINDOW w AS (PARTITION BY addr_id
-                           ORDER BY score DESC NULLS LAST,
-                                    pc_match DESC NULLS LAST,
-                                    uprn ASC)),
-            win AS (
-              SELECT addr_id, uprn FROM ranked
-              WHERE rnk = 1 AND score >= 0.60 AND (
-                (is_exact AND (n_exact = 1
-                               OR (pc_match AND n_exact_pc = 1))
-                 AND validator_ok AND NOT d_vague)
-                OR (score >= 0.85 AND margin >= 0.05 AND validator_ok)
-                OR (coalesce(method_conf, 0.0) >= 0.85
-                    AND NOT house_conflict AND margin >= 0.05)
-                OR (score >= 0.78 AND (house_match OR house_exact)
-                    AND margin >= 0.10 AND NOT d_vague))),
-            det AS (
-              SELECT doc_id FROM d
-              WHERE uprn_clean IS NOT NULL
-                AND (uprn_clean IN (SELECT uprn FROM gaz_uprns)
-                     OR length(uprn_clean) BETWEEN 6 AND 12))
-            SELECT d.doc_id, w.uprn
-            FROM d JOIN ua USING (addr_can, postcode)
-            JOIN win w USING (addr_id)
-            WHERE d.doc_id NOT IN (SELECT doc_id FROM det)""",
+            """ + _sql_ladder() + """,
+            """ + _SQL_DET_TAIL,
         # brute-force mirror of the J9 vector generator: cosine over
         # the persisted float32 embeddings (query side re-derived with
         # the same pure hash embedder the pipeline's mapInPandas runs),
@@ -2143,51 +2173,11 @@ def _oracle_sql_raw() -> dict[str, str]:
               FROM qe CROSS JOIN ge
               WHERE list_cosine_similarity(qe.emb, ge.embedding)
                     >= 2 * 0.70 - 1),
-            ranked AS (
-              SELECT addr_id, uprn, score, pc_match, method_conf,
-                     house_conflict, house_match, house_exact,
-                     validator_ok, d_vague,
-                     list_contains(methods, 'exact_canonical') AS is_exact,
-                     list_contains(methods, 'vector') AS is_vec,
-                     row_number() OVER w AS rnk,
-                     score - coalesce(lead(score) OVER w, 0.0) AS margin,
-                     SUM(CASE WHEN list_contains(methods,
-                                                 'exact_canonical')
-                              THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY addr_id) AS n_exact,
-                     SUM(CASE WHEN list_contains(methods,
-                                                 'exact_canonical')
-                               AND pc_match THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY addr_id) AS n_exact_pc
-              FROM pairs
-              WINDOW w AS (PARTITION BY addr_id
-                           ORDER BY score DESC NULLS LAST,
-                                    pc_match DESC NULLS LAST,
-                                    uprn ASC)),
-            win AS (
-              SELECT addr_id, uprn FROM ranked
-              WHERE rnk = 1 AND score >= 0.60 AND is_vec
-                AND EXISTS (SELECT 1 FROM vc
-                            WHERE vc.addr_id = ranked.addr_id
-                              AND vc.uprn = ranked.uprn)
-                AND (
-                (is_exact AND (n_exact = 1
-                               OR (pc_match AND n_exact_pc = 1))
-                 AND validator_ok AND NOT d_vague)
-                OR (score >= 0.85 AND margin >= 0.05 AND validator_ok)
-                OR (coalesce(method_conf, 0.0) >= 0.85
-                    AND NOT house_conflict AND margin >= 0.05)
-                OR (score >= 0.78 AND (house_match OR house_exact)
-                    AND margin >= 0.10 AND NOT d_vague))),
-            det AS (
-              SELECT doc_id FROM d
-              WHERE uprn_clean IS NOT NULL
-                AND (uprn_clean IN (SELECT uprn FROM gaz_uprns)
-                     OR length(uprn_clean) BETWEEN 6 AND 12))
-            SELECT d.doc_id, w.uprn
-            FROM d JOIN ua USING (addr_can, postcode)
-            JOIN win w USING (addr_id)
-            WHERE d.doc_id NOT IN (SELECT doc_id FROM det)""",
+            """ + _sql_ladder(
+            extra_flags="\n                     "
+                        "list_contains(methods, 'vector') AS is_vec,",
+            win_guard=_SQL_VEC_GUARD) + """,
+            """ + _SQL_DET_TAIL,
         # full J7 mirror (rewrite CASE chain / rare-token blocking /
         # trigram sim — the same SQL j7_rule_engine proves against the
         # operator) over the PIPELINE's persisted fixtures, then the
@@ -2378,46 +2368,8 @@ def _oracle_sql_raw() -> dict[str, str]:
                 AND length(uprn_clean) BETWEEN 6 AND 12
                 AND uprn_clean NOT IN (SELECT uprn FROM gaz_uprns)),
             -- 2. decision-ladder winners over the scored pairs
-            ranked AS (
-              SELECT addr_id, uprn, score, pc_match, method_conf,
-                     house_conflict, house_match, house_exact,
-                     validator_ok, d_vague, methods,
-                     list_contains(methods, 'exact_canonical') AS is_exact,
-                     row_number() OVER w AS rnk,
-                     score - coalesce(lead(score) OVER w, 0.0) AS margin,
-                     SUM(CASE WHEN list_contains(methods,
-                                                 'exact_canonical')
-                              THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY addr_id) AS n_exact,
-                     SUM(CASE WHEN list_contains(methods,
-                                                 'exact_canonical')
-                               AND pc_match THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY addr_id) AS n_exact_pc
-              FROM pairs
-              WINDOW w AS (PARTITION BY addr_id
-                           ORDER BY score DESC NULLS LAST,
-                                    pc_match DESC NULLS LAST,
-                                    uprn ASC)),
-            win AS (
-              SELECT addr_id, uprn,
-                     array_to_string(methods, '+') AS method,
-                     CASE WHEN d_vague AND method_conf IS NULL
-                            THEN score * 0.5
-                          WHEN d_vague
-                            THEN greatest(score * 0.5, method_conf)
-                          ELSE greatest(score,
-                                        coalesce(method_conf, 0.0))
-                     END AS confidence
-              FROM ranked
-              WHERE rnk = 1 AND score >= 0.60 AND (
-                (is_exact AND (n_exact = 1
-                               OR (pc_match AND n_exact_pc = 1))
-                 AND validator_ok AND NOT d_vague)
-                OR (score >= 0.85 AND margin >= 0.05 AND validator_ok)
-                OR (coalesce(method_conf, 0.0) >= 0.85
-                    AND NOT house_conflict AND margin >= 0.05)
-                OR (score >= 0.78 AND (house_match OR house_exact)
-                    AND margin >= 0.10 AND NOT d_vague))),
+            """ + _sql_ladder(extra_cols=" methods,",
+                              win_head=_SQL_WIN_FULL) + r""",
             fuzzy AS (
               SELECT d.doc_id, w.uprn, w.method, w.confidence
               FROM d JOIN ua USING (addr_can, postcode)
