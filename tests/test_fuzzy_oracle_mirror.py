@@ -164,11 +164,17 @@ def test_decide_matches_sql_mirror(spark, tmp_path):
 def test_entry_sql_contains_mirror():
     """The verbatim-semantics claim above is only safe if the entry's
     SQL still contains the same ladder — anchor on the rung literals
-    so an edit to either side forces this file to be revisited."""
+    so an edit to either side forces this file to be revisited. All
+    FIVE end-to-end slice entries now compose the ladder from ONE
+    fragment (__spark_entry__._sql_ladder), so each must carry the
+    same rungs; checking them all keeps that composition honest."""
     import __spark_entry__ as e
-    sql = e.oracle_sql()["linkage_fuzzy"]
-    for frag in ["score >= 0.60", "n_exact = 1", "margin >= 0.05",
-                 "coalesce(method_conf, 0.0) >= 0.85",
-                 "margin >= 0.10", "NOT house_conflict",
-                 "pc_match DESC NULLS LAST"]:
-        assert frag in sql, frag
+    sqls = e.oracle_sql()
+    for key in ["linkage_fuzzy", "linkage_vector", "linkage_full",
+                "linkage_pipeline", "linkage_phased"]:
+        sql = sqls[key]
+        for frag in ["score >= 0.60", "n_exact = 1", "margin >= 0.05",
+                     "coalesce(method_conf, 0.0) >= 0.85",
+                     "margin >= 0.10", "NOT house_conflict",
+                     "pc_match DESC NULLS LAST"]:
+            assert frag in sql, (key, frag)
