@@ -916,8 +916,10 @@ def q_linkage_consensus(spark, sf):
     the max-conf/min-uprn tie-break, the csize<=200 / votes>=2 /
     votes>=0.4*matched safety gates, the 0.85/0.90/0.95 vote-count
     confidence banding, and the group-propagation gate (an unmatched
-    doc only receives the winner if its OWN group has >=2 direct
-    voters for that uprn). The returned rows come from the PIPELINE's
+    doc only receives the winner if its OWN group has >=2 ELIGIBLE
+    voters for that uprn — matches above the min_conf vote threshold,
+    the same eligibility the vote aggregation applies). The returned
+    rows come from the PIPELINE's
     final matches (slice = the consensus operator's own doc set), so a
     consensus doc that is dropped, reassigned or re-scored anywhere
     downstream — including the final keep-best union — row- or
@@ -2433,6 +2435,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             voter_groups AS (
               SELECT dg.group_key, m.uprn
               FROM dm m JOIN d dg USING (doc_id)
+              WHERE m.confidence > 0.5
               GROUP BY dg.group_key, m.uprn HAVING COUNT(*) >= 2),
             cons AS (
               SELECT a.doc_id, g.uprn,
@@ -2587,6 +2590,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             voter_groups AS (
               SELECT dg.group_key, m.uprn
               FROM dm m JOIN d dg USING (doc_id)
+              WHERE m.confidence > 0.5
               GROUP BY dg.group_key, m.uprn HAVING COUNT(*) >= 2)
             SELECT a.doc_id, g.uprn,
                    ROUND(CASE WHEN g.votes >= 4 THEN 0.95

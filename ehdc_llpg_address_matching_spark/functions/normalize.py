@@ -118,6 +118,18 @@ _ABBREV_RE = re.compile(
     r"\b(" + "|".join(sorted(ABBREVIATIONS, key=len, reverse=True)) + r")\b")
 
 
+def norm_house_expr(c: "F.Column | str") -> "F.Column":
+    """Canonical house-number comparison form: uppercase, strip every
+    non-alphanumeric ('12 A' == '12a' == '12-A'). THE single
+    definition — the component-join blocking keys (candidates.py), the
+    hierarchical cascade keys and the scorer's house_exact/
+    house_conflict logic must all normalize identically or blocking
+    and scoring silently disagree on which houses are 'the same'."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.upper(F.coalesce(col, F.lit(""))),
+                            r"[^0-9A-Z]", "")
+
+
 # ------------------------------------------------------------ pandas core
 # All functions below operate on whole pd.Series — this is the body of
 # the Arrow UDFs and is also directly unit-testable without Spark.

@@ -57,10 +57,15 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
             out_q, out_n, out_s, out_r = [], [], [], []
             for r in range(len(qids)):
-                cand = idx[r]
-                # deterministic order: cosine desc, neighbor id asc
+                # argpartition picks an ARBITRARY subset of candidates
+                # tied at the k-th cosine; widen to every index at or
+                # above the boundary value so the documented tie-break
+                # (cosine desc, id asc) decides which ties survive —
+                # matching the window semantics of lsh/ivf_topk
+                thr = sims[r, idx[r]].min()
+                cand = np.nonzero(sims[r] >= thr)[0]
                 order = np.lexsort((cids[cand], -sims[r, cand]))
-                cand = cand[order]
+                cand = cand[order][:kk]
                 out_q.extend([qids[r]] * len(cand))
                 out_n.extend(cids[cand].tolist())
                 out_s.extend(sims[r, cand].astype(float).tolist())
@@ -180,7 +185,15 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     if dim is None:
         # fallback only — callers should pass dim so no driver-side
         # action blocks the lazy plan
-        dim = len(queries.select(vec_col).first()[0])
+        first = queries.select(id_col, vec_col).first()
+        if first is None or first[vec_col] is None:
+            # empty queries: return an empty frame with the contract
+            # schema instead of crashing on None[0]
+            qid_type = dict(queries.dtypes)[id_col]
+            return queries.sparkSession.createDataFrame(
+                [], f"query_id {qid_type}, neighbor_id {qid_type}, "
+                    f"cosine double, rank int")
+        dim = len(first[vec_col])
     rs = np.random.RandomState(seed)
     planes = rs.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
     spark = queries.sparkSession

@@ -23,19 +23,23 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.normalize import with_canonical, with_components
+from ..functions.normalize import (norm_house_expr, with_canonical,
+                                   with_components)
 from ..functions.phonetic import with_street_phonetic
 from .blocking import explode_keys, salt_hot_keys, with_blocking_keys
 
-MAX_RANGE_UNITS = 50  # reference guard: internal/llpg/range_expander.go:140-181
+# reference guard, internal/llpg/range_expander.go:174: reject when
+# (end - start) > 50 — i.e. a SPAN of at most 50, which expands to up
+# to 51 inclusive house numbers ('47-93' passes, '47-98' does not)
+MAX_RANGE_UNITS = 50
 
 
 def expand_ranges(gazp: DataFrame) -> DataFrame:
     """Gazetteer densification (J10; reference:
     internal/llpg/range_expander.go:78-210): '10-11 HIGH ST' spawns
-    rows for 10 and 11 (same UPRN), F.sequence + explode; ≤50-unit
-    guard; numeric-numeric ranges only (alpha ranges are <0.1% of LLPG
-    and fall back to the fuzzy path)."""
+    rows for 10 and 11 (same UPRN), F.sequence + explode; span ≤ 50
+    guard (see MAX_RANGE_UNITS); numeric-numeric ranges only (alpha
+    ranges are <0.1% of LLPG and fall back to the fuzzy path)."""
     rng = gazp.filter(F.col("c_house").rlike(r"^\d+-\d+$"))
     lo = F.split("c_house", "-").getItem(0).cast("int")
     hi = F.split("c_house", "-").getItem(1).cast("int")
@@ -245,8 +249,7 @@ def cand_component_joins(uaddr: DataFrame, gazp: DataFrame,
         return trigram_sim_expr(trigram_grams_expr(F.col(x)),
                                 trigram_grams_expr(F.col(y)))
 
-    nh = lambda c: F.regexp_replace(F.upper(F.coalesce(c, F.lit(""))),
-                                    r"[^0-9A-Z]", "")
+    nh = norm_house_expr
     opt = lambda df, c: (F.col(c) if c in df.columns
                          else F.lit("")).alias(c)
     d = uaddr.select("addr_id",
@@ -490,8 +493,7 @@ def cand_hierarchical(uaddr: DataFrame, gazp: DataFrame,
     """
     from pyspark.sql import Window
 
-    nh = lambda c: F.regexp_replace(F.upper(F.coalesce(c, F.lit(""))),
-                                    r"[^0-9A-Z]", "")
+    nh = norm_house_expr
     d = uaddr.select("addr_id",
                      F.col("postcode").alias("d_pc"),
                      nh(F.col("c_house")).alias("d_h"),

@@ -175,7 +175,12 @@ def cluster_consensus(components: DataFrame, doc_matches: DataFrame,
         # its own group contains >=1 direct voter for that UPRN —
         # transitive component evidence strengthens the vote count but
         # cannot reach into groups with no evidence of their own
+        # a "direct voter" is a match ELIGIBLE to vote (confidence >
+        # min_conf, same gate as the votes aggregation above) — a
+        # sub-threshold match must not open its group to propagation
+        # it could not have voted for
         voter_groups = (doc_matches
+                        .filter(F.col("confidence") > min_conf)
                         .join(all_docs.select("doc_id", group_col), "doc_id")
                         .groupBy(group_col, "uprn")
                         .agg(F.count("*").alias("_gv"))

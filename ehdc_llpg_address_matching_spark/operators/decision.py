@@ -87,9 +87,17 @@ def decide(pairs: DataFrame, t: Thresholds = Thresholds(),
       review      : rank 1, score>=review
       reject      : everything else
     """
-    for c, typ in (("method_conf", "double"), ("house_conflict", "boolean")):
-        if c not in pairs.columns:
-            pairs = pairs.withColumn(c, F.lit(None).cast(typ))
+    if "method_conf" not in pairs.columns:
+        pairs = pairs.withColumn("method_conf",
+                                 F.lit(None).cast("double"))
+    # absence of house information is NOT a house conflict: backfill
+    # False (not NULL) so the rule-confidence rung stays reachable for
+    # callers whose pairs never computed house features — with a NULL
+    # backfill, ~NULL is NULL and the rung silently never fires.
+    # Rows that explicitly carry NULL in a PRESENT column keep it
+    # (the SQL oracle mirror sees the same three-valued skip).
+    if "house_conflict" not in pairs.columns:
+        pairs = pairs.withColumn("house_conflict", F.lit(False))
     # pc_match breaks score ties so the postcode-confirmed twin ranks
     # first even when both clamp to the same score
     w = Window.partitionBy("addr_id").orderBy(

@@ -29,7 +29,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(id, canonical_id, is_duplicate): groups rows by exact text hash,
     canonical = min id in group. Pure built-ins."""
-    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
     return (df
             .withColumn("_h", F.sha2(F.col(text_col).cast("string"), 256))
             .withColumn("canonical_id", F.min(id_col).over(

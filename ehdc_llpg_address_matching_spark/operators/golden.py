@@ -115,7 +115,16 @@ def find_golden_records(doc_matches: DataFrame, docs_n: DataFrame,
                      (F.col("n_docs") <= max_group) &
                      (F.col("n_high") >= min_high) &
                      (F.col("n_unmatched") >= 1)))
+    gaz_addr = (gazp.filter(F.col("source_type") == "original")
+                .groupBy("uprn")
+                .agg(F.min("full_address").alias("golden_address")))
+    # elect only among UPRNs that HAVE a gazetteer display address: a
+    # historic-UPRN vote leader (matched at confidence 1.0, absent
+    # from the original gazetteer) would otherwise win the window and
+    # then vanish at the address join, silently dropping the whole
+    # group — the next-best addressable UPRN must win instead.
     votes = (joined.filter(F.col("confidence") >= high_conf)
+             .join(gaz_addr.select("uprn"), "uprn", "left_semi")
              .groupBy(group_col, "uprn")
              .agg(F.count("*").alias("votes"),
                   F.max("confidence").alias("max_conf")))
@@ -125,9 +134,6 @@ def find_golden_records(doc_matches: DataFrame, docs_n: DataFrame,
               .filter(F.col("_rn") == 1)
               .join(stats.select(group_col), group_col, "left_semi")
               .select(group_col, F.col("uprn").alias("golden_uprn")))
-    gaz_addr = (gazp.filter(F.col("source_type") == "original")
-                .groupBy("uprn")
-                .agg(F.min("full_address").alias("golden_address")))
     return golden.join(gaz_addr,
                        golden.golden_uprn == gaz_addr.uprn) \
         .select(group_col, "golden_uprn", "golden_address")

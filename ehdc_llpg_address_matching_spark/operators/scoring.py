@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
+from ..functions.normalize import norm_house_expr
 from ..functions.similarity import (jaro_sim_batch, levenshtein_sim_batch,
                                     trigram_grams_expr, trigram_sim_expr)
 
@@ -199,8 +200,7 @@ def with_column_features(pairs: DataFrame) -> DataFrame:
     house_overlap = F.when(
         (F.size("d_house_numbers") > 0) & (F.size("g_house_numbers") > 0),
         F.arrays_overlap("d_house_numbers", "g_house_numbers"))
-    norm_house = lambda c: F.regexp_replace(F.upper(F.coalesce(c, F.lit(""))),
-                                            r"[^0-9A-Z]", "")
+    norm_house = norm_house_expr
     same_house_exact = norm_house(F.col("d_house")) == norm_house(F.col("g_house"))
     both_house = (F.col("d_house") != "") & (F.col("g_house") != "") & \
         F.col("d_house").isNotNull() & F.col("g_house").isNotNull()

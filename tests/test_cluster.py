@@ -61,3 +61,24 @@ def test_consensus_respects_min_votes(spark):
     comps = connected_components(build_edges(matches, docs))
     out = cluster_consensus(comps, matches, docs, min_votes=2).collect()
     assert out == []  # single vote is not consensus
+
+
+def test_consensus_voter_gate_requires_eligible_voters(spark):
+    """The group-propagation gate must count only matches ELIGIBLE to
+    vote (confidence > min_conf): a group whose two matches sit below
+    the vote threshold cannot receive the component winner through
+    them (round-5 review: voter_groups omitted the min_conf filter the
+    votes aggregation applies)."""
+    # G1 supplies the eligible votes; G2's two matches to the same
+    # UPRN are sub-threshold — its unmatched doc must NOT be assigned.
+    docs = spark.createDataFrame(
+        [("d1", "G1"), ("d2", "G1"),
+         ("d3", "G2"), ("d4", "G2"), ("d5", "G2")],
+        "doc_id string, group_key string")
+    matches = spark.createDataFrame(
+        [("d1", "U7", 0.9), ("d2", "U7", 0.8),
+         ("d3", "U7", 0.45), ("d4", "U7", 0.45)],
+        "doc_id string, uprn string, confidence double")
+    comps = connected_components(build_edges(matches, docs))
+    out = cluster_consensus(comps, matches, docs, min_conf=0.5).collect()
+    assert out == []  # d5's own group has no ELIGIBLE voter for U7

@@ -112,3 +112,26 @@ def test_pipeline_gate_default_off():
     from ehdc_llpg_address_matching_spark.pipeline import PipelineConfig
     cfg = PipelineConfig()
     assert cfg.enable_llm_golden is False and cfg.llm_fn is None
+
+
+def test_golden_election_skips_unaddressable_winner(spark):
+    """A historic-UPRN vote leader (absent from the original
+    gazetteer, so it has no display address) must not silently drop
+    the group: the next-best in-gazetteer UPRN wins the election
+    (round-5 review: the election ran before the address join, so the
+    group vanished at the inner join)."""
+    docs_n = spark.createDataFrame(
+        [("d1", "A", "5 AMEY ESTATE"), ("d2", "A", "5 AMEY IND EST"),
+         ("d3", "A", "UNIT 5 AMEY"), ("d4", "A", "AMEY ESTATE UNIT 5")],
+        "doc_id string, group_key string, raw_address string")
+    # historic UPRN H9 leads 2 votes to U1's 1 — but H9 is not in the
+    # original gazetteer, so U1 must be elected
+    dm = spark.createDataFrame(
+        [("d1", "H9", 1.0), ("d2", "H9", 1.0), ("d3", "U1", 0.92)],
+        "doc_id string, uprn string, confidence double")
+    gazp = spark.createDataFrame(
+        [("U1", "UNIT 5 AMEY INDUSTRIAL ESTATE", "original")],
+        "uprn string, full_address string, source_type string")
+    out = G.find_golden_records(dm, docs_n, gazp).collect()
+    assert len(out) == 1
+    assert (out[0]["group_key"], out[0]["golden_uprn"]) == ("A", "U1")

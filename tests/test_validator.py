@@ -93,3 +93,21 @@ def test_alpha_suffix_conflict_rejects(spark):
     r = _decide_pair(spark, "12A", "12B", "HIGH STREET", "HIGH STREET")
     assert r["house_conflict"]
     assert r["decision"] == "reject"
+
+
+def test_decide_backfills_missing_house_conflict_as_false(spark):
+    """decide() on pairs that never computed house features: the
+    rule-confidence rung must still fire (absence of house info is not
+    a house conflict). With a NULL backfill, ~NULL is NULL and the
+    rung silently never accepted (round-5 review finding)."""
+    from ehdc_llpg_address_matching_spark.operators.decision import decide
+    pairs = spark.createDataFrame(
+        [("a1", "U1", 0.75, ["rule_court"], 0.90, True, False,
+          False, False, False),
+         ("a1", "U2", 0.55, ["trigram"], None, True, False,
+          False, False, False)],
+        "addr_id string, uprn string, score double, methods array<string>, "
+        "method_conf double, validator_ok boolean, d_vague boolean, "
+        "house_match boolean, house_exact boolean, pc_match boolean")
+    out = {r["uprn"]: r["decision"] for r in decide(pairs).collect()}
+    assert out["U1"] == "accept"
