@@ -114,6 +114,92 @@ def test_pipeline_gate_default_off():
     assert cfg.enable_llm_golden is False and cfg.llm_fn is None
 
 
+def _g3_corpus(spark):
+    """Minimal end-to-end corpus where G3 fires but consensus/rescue
+    cannot: one planning group of 7 docs — 2 exact matches to the
+    golden UPRN, 4 exact matches to 4 distinct decoy UPRNs (so the
+    consensus winner's 2 votes < 0.4 * 6 matched and the share gate
+    kills propagation; rescue skips because the group HAS matches),
+    and 1 unmatched doc whose address shares >= 2 tokens with the
+    golden display address (the fake LLM's SAME criterion) but
+    produces no acceptable candidate of its own."""
+    from ehdc_llpg_address_matching_spark.synth import (DOCS_SPARK_SCHEMA,
+                                                        GAZ_SPARK_SCHEMA)
+    gaz_rows = [
+        ("100001", "UNIT 5 AMEY INDUSTRIAL ESTATE PETERSFIELD GU32 3QL",
+         "5", "AMEY INDUSTRIAL ESTATE", "PETERSFIELD", "GU32 3QL",
+         None, "CI", "1", True, None, None, None),
+        ("100002", "1 ROSE LANE PETERSFIELD GU32 3AA", "1", "ROSE LANE",
+         "PETERSFIELD", "GU32 3AA", None, "RD", "1", True, None, None, None),
+        ("100003", "2 OAK WAY PETERSFIELD GU32 3AB", "2", "OAK WAY",
+         "PETERSFIELD", "GU32 3AB", None, "RD", "1", True, None, None, None),
+        ("100004", "3 ELM CLOSE PETERSFIELD GU32 3AC", "3", "ELM CLOSE",
+         "PETERSFIELD", "GU32 3AC", None, "RD", "1", True, None, None, None),
+        ("100005", "4 FIR DRIVE PETERSFIELD GU32 3AD", "4", "FIR DRIVE",
+         "PETERSFIELD", "GU32 3AD", None, "RD", "1", True, None, None, None),
+    ]
+
+    def _doc(doc_id, text):
+        return (doc_id, [{"kind": "text", "text": text,
+                          "media_ref": None, "offset": 0}],
+                None, None, None, "APP/G3/00001")
+
+    doc_rows = [
+        _doc("G3D1", "UNIT 5 AMEY INDUSTRIAL ESTATE PETERSFIELD GU32 3QL"),
+        _doc("G3D2", "UNIT 5, AMEY INDUSTRIAL ESTATE, PETERSFIELD GU32 3QL"),
+        _doc("G3D3", "1 ROSE LANE PETERSFIELD GU32 3AA"),
+        _doc("G3D4", "2 OAK WAY PETERSFIELD GU32 3AB"),
+        _doc("G3D5", "3 ELM CLOSE PETERSFIELD GU32 3AC"),
+        _doc("G3D6", "4 FIR DRIVE PETERSFIELD GU32 3AD"),
+        _doc("G3D7", "PAVILION BY AMEY INDUSTRIAL SOCIAL GROUND"),
+    ]
+    return (spark.createDataFrame(doc_rows, DOCS_SPARK_SCHEMA),
+            spark.createDataFrame(gaz_rows, GAZ_SPARK_SCHEMA))
+
+
+def test_g3_end_to_end_monolithic_and_phased_parity(spark, tmp_path):
+    """G3 through BOTH runners: with enable_llm_golden on, run_pipeline
+    and run_phased must emit IDENTICAL assignments INCLUDING the LLM
+    correction — the phased runner silently dropping a cfg-enabled
+    phase is the round-4 J5 bug class (this time for G3)."""
+    from ehdc_llpg_address_matching_spark.pipeline import (PipelineConfig,
+                                                           run_pipeline)
+    from ehdc_llpg_address_matching_spark.plans.phases import run_phased
+    from ehdc_llpg_address_matching_spark.sources.catalog import Warehouse
+
+    # nested so cloudpickle ships it by VALUE — a module-level function
+    # would pickle by reference and the Spark worker can't import tests
+    def _token_overlap_llm(prompts: pd.Series) -> pd.Series:
+        out = []
+        for p in prompts:
+            lines = [l for l in p.splitlines() if l.startswith("Address")]
+            a = set(lines[0].split(": ", 1)[1].replace(",", "").split())
+            b = set(lines[1].split(": ", 1)[1].replace(",", "").split())
+            out.append("SAME|0.90" if len(a & b) >= 2 else "DIFFERENT|0.10")
+        return pd.Series(out)
+
+    docs, gaz = _g3_corpus(spark)
+    cfg = PipelineConfig(enable_vector=False, enable_spatial=False,
+                         enable_symspell=False,
+                         enable_llm_golden=True, llm_fn=_token_overlap_llm)
+    out_m = run_pipeline(spark, docs, gaz, cfg)
+    mm = {(r["doc_id"], r["uprn"], r["method"])
+          for r in out_m["matches"].collect()}
+    # the six exact docs match their UPRNs; the seventh is corrected by
+    # the LLM phase (consensus share gate 2 < 0.4*6 blocks propagation)
+    assert ("G3D7", "100001", "llm_golden") in mm
+    # keep-best unions method names (D7), so match by prefix
+    assert any(d == "G3D1" and u == "100001"
+               and m.startswith("exact_canonical") for d, u, m in mm)
+
+    wh = Warehouse(spark, str(tmp_path / "wh_g3"))
+    out_p = run_phased(spark, docs, gaz, wh, run_id="rg3", cfg=cfg)
+    mp = {(r["doc_id"], r["uprn"], r["method"])
+          for r in out_p["matches"].collect()}
+    assert ("G3D7", "100001", "llm_golden") in mp
+    assert mp == mm
+
+
 def test_golden_election_skips_unaddressable_winner(spark):
     """A historic-UPRN vote leader (absent from the original
     gazetteer, so it has no display address) must not silently drop
