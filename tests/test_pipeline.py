@@ -232,6 +232,54 @@ def test_auto_tune_thresholds_in_pipeline(spark):
     assert f1 >= 0.99, f"tuned F1 {f1:.4f}"
 
 
+def test_degenerate_docs_no_crash(spark):
+    """input_hint robustness: the minimal (doc_id, spans) schema plus
+    degenerate rows — null spans, empty span array, media-only spans,
+    whitespace text — must flow through the WHOLE pipeline: raw_address
+    degrades to '', uprn stays null, the span fingerprint still covers
+    every row, and nothing crashes. An empty input produces an empty
+    result with the same schema."""
+    from ehdc_llpg_address_matching_spark.synth import (DOCS_SPARK_SCHEMA,
+                                                        GAZ_SPARK_SCHEMA)
+    minimal_schema = ("doc_id string, spans array<struct<kind:string,"
+                      "text:string,media_ref:string,offset:int>>")
+    gaz = spark.createDataFrame(
+        [("100001", "1 ROSE LANE PETERSFIELD GU32 3AA", "1", "ROSE LANE",
+          "PETERSFIELD", "GU32 3AA", None, "RD", "1", True, None, None,
+          None)], GAZ_SPARK_SCHEMA)
+    cfg = PipelineConfig(enable_vector=False, enable_spatial=False,
+                         enable_symspell=False)
+
+    docs = spark.createDataFrame(
+        [("D_null", None),
+         ("D_empty", []),
+         ("D_media", [{"kind": "image", "text": None,
+                       "media_ref": "img://1", "offset": 0}]),
+         ("D_blank", [{"kind": "text", "text": "   ",
+                       "media_ref": None, "offset": 0}]),
+         ("D_ok", [{"kind": "text", "text": "1 ROSE LANE PETERSFIELD "
+                    "GU32 3AA", "media_ref": None, "offset": 0}])],
+        minimal_schema)
+    out = run_pipeline(spark, docs, gaz, cfg)
+    res = {r["doc_id"]: r for r in out["result"].collect()}
+    assert set(res) == {"D_null", "D_empty", "D_media", "D_blank", "D_ok"}
+    for d in ("D_null", "D_empty", "D_media", "D_blank"):
+        assert res[d]["uprn"] is None, d
+        assert (res[d]["raw_address"] or "").strip() == "", d
+    assert res["D_ok"]["uprn"] == "100001"
+    # the invariant column exists and is recomputable for every row,
+    # including null/media-only spans
+    bad = (out["result"]
+           .withColumn("fp2", span_fingerprint("spans"))
+           .filter(~F.col("fp2").eqNullSafe(F.col("span_fp"))).count())
+    assert bad == 0
+
+    empty = spark.createDataFrame([], minimal_schema)
+    out_e = run_pipeline(spark, empty, gaz, cfg)
+    assert out_e["result"].count() == 0
+    assert out_e["matches"].count() == 0
+
+
 def test_linkage_full_corpus_exercises_all_paths(spark):
     """Gate for the linkage_full oracle entry (__spark_entry__.LF_SYNTH):
     the corpus must keep EVERY flagship winner category contributing
