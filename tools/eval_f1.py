@@ -91,6 +91,29 @@ def main():
               + next((f"F1 {x[4]:.4f} over {x[1]} docs" for x in rows
                       if x[5] == "yes"), "n/a"),
               ]
+
+    # Seed robustness: the gate must not be a seed-42 artifact. Five
+    # unseen seeds at a smaller scale (each ~30 s after JVM warmup).
+    lines += ["", "## Seed robustness (unseen seeds, 600 gaz x 1200 docs)",
+              "",
+              "| seed | n_gold | precision | recall | F1 |",
+              "|---|---|---|---|---|"]
+    worst = 1.0
+    for seed in (1, 7, 99, 1234, 2026):
+        sg, sd, sgold = synth_tables(SynthConfig(seed=seed,
+                                                 n_gazetteer=600,
+                                                 n_docs=1200))
+        so = run_pipeline(spark, spark.createDataFrame(sd),
+                          spark.createDataFrame(sg))
+        sm = so["matches"].select("doc_id", "uprn").toPandas()
+        sj = sgold.merge(sm.rename(columns={"uprn": "uprn_pred"}),
+                         on="doc_id", how="left")
+        tp, fp, fn, p, r, f1 = prf(sj)
+        worst = min(worst, f1)
+        lines.append(f"| {seed} | {int(sj.uprn.notna().sum())} | {p:.4f} "
+                     f"| {r:.4f} | {f1:.4f} |")
+    lines += ["", f"Worst seed F1: {worst:.4f} (gate: >= 0.99 on every "
+                  "seed, no per-seed tuning anywhere in the pipeline)."]
     with open("/root/repo/EVAL.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines[:12]))
