@@ -561,6 +561,59 @@ def q_ivf_ann_topk(spark, sf):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_lsh_bucket_pairs(spark, sf):
+    """Hash-checkable face of the random-hyperplane LSH index: the
+    distinct bucket-collision pairs (all 4 tables, 12 sign bits each,
+    seed 7 — the exact bucketing lsh_topk searches) whose true cosine
+    clears an off-boundary 0.2 gate. The DuckDB oracle replays the
+    plane projections from embedded float32-exact literals, so a hash
+    match verifies the INDEX construction itself — complementing
+    lsh_ann_topk's self-audited recall, which verifies result quality
+    but cannot pin bucket membership."""
+    from ehdc_llpg_address_matching_spark.operators.ann import \
+        lsh_bucket_pairs
+    emb = _t(spark, sf, "embeddings")
+    return lsh_bucket_pairs(emb, dim=64, min_cosine=0.2)
+
+
+def _lsh_bucket_pairs_oracle_sql() -> str:
+    """DuckDB mirror of q_lsh_bucket_pairs: rebuilds the per-table sign
+    buckets from plane literals (float32-rounded exactly as the engine
+    broadcasts them — lsh_planes rounds BEFORE any projection), joins
+    collisions, applies the same cosine gate. Sign margins of the
+    projections on the fixed test corpus are >= 6e-5, ~10x the f32
+    rounding envelope at dim 64, so f32 (engine) vs f64 (oracle)
+    arithmetic cannot flip a bucket bit."""
+    from ehdc_llpg_address_matching_spark.operators.ann import lsh_planes
+    P = lsh_planes(12, 4, 64, 7)
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for p in range(12):
+            vec = ",".join(repr(float(x)) for x in P[t, p])
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS "
+                f"DOUBLE[]), [{vec}]) > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    unions = "\n UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket "
+        f"FROM embeddings" for t in range(4))
+    return f"""
+        WITH b AS ({unions}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+                           AND a.vec_id < c.vec_id)
+        SELECT cand.id_a, cand.id_b
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.id_a
+        JOIN embeddings eb ON eb.vec_id = cand.id_b
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[]))
+              >= 0.2"""
+
+
 def q_connected_components(spark, sf):
     """Large-star/small-star CC over the bipartite customer-order graph.
     Oracle-checkable: each component is one customer plus its orders and
@@ -1577,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "lsh_bucket_pairs": q_lsh_bucket_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
         "connected_components": q_connected_components,
         "j9_vector_engine": q_j9_vector_engine,
@@ -1613,6 +1667,8 @@ def oracle_sql() -> dict[str, str]:
         _fix("linkage_full"), _fix("linkage_pipeline"))
     out["linkage_phased"] = out["linkage_full"].replace(
         _fix("linkage_full"), _fix("linkage_phased"))
+    # generated (plane literals), not a hand-written string
+    out["lsh_bucket_pairs"] = _lsh_bucket_pairs_oracle_sql()
     return out
 
 

@@ -174,6 +174,95 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     F.col("c_id").alias("neighbor_id"), "cosine", "rank"))
 
 
+def lsh_planes(n_planes: int, n_tables: int, dim: int,
+               seed: int) -> np.ndarray:
+    """The (n_tables, n_planes, dim) float32 hyperplane tensor both the
+    engine and any external mirror (e.g. the DuckDB oracle) must share:
+    one RandomState(seed) draw, float32-rounded BEFORE any projection,
+    so every consumer sees bit-identical plane values."""
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+
+
+def _hyperplane_bucket_udf(spark, n_planes: int, n_tables: int, dim: int,
+                           seed: int):
+    """Arrow UDF mapping a vector column to its per-table sign buckets
+    (array of n_tables packed ints)."""
+    b_planes = spark.sparkContext.broadcast(
+        lsh_planes(n_planes, n_tables, dim, seed))
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        P = b_planes.value
+        V = np.array(vecs.to_list(), dtype=np.float32)  # (n, dim)
+        out = []
+        # (tables, n, planes) sign bits -> packed ints
+        for t in range(P.shape[0]):
+            proj = V @ P[t].T > 0
+            packed = (proj.astype(np.int64) <<
+                      np.arange(P.shape[1], dtype=np.int64)[None, :]).sum(axis=1)
+            out.append(packed)
+        arr = np.stack(out, axis=1)  # (n, tables)
+        return pd.Series([row.tolist() for row in arr])
+
+    return _buckets
+
+
+def lsh_bucket_pairs(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_planes: int = 12,
+                     n_tables: int = 4, dim: int | None = None,
+                     seed: int = 7, min_cosine: float = 0.2) -> DataFrame:
+    """The deterministic, hash-checkable face of the hyperplane index:
+    distinct bucket-collision pairs (id_a < id_b) across all tables
+    whose exact cosine clears ``min_cosine``. Shares the bucketing
+    definition with lsh_topk (same seed -> same planes -> the same
+    candidate universe the top-k query searches), so an external oracle
+    that replays the plane projections verifies the index itself, not
+    just a sampled recall.
+
+    Scale shape: ids only through the collision self-join and the
+    dedupe; vectors re-attach once per surviving pair. Pick
+    ``min_cosine`` off any pair's boundary for the target corpus —
+    float32-vs-float64 ULP differences must not flip membership (the
+    sign margins of the projections themselves are corpus properties;
+    measured >= 6e-5 on the shipped test corpus, ~10x the f32 rounding
+    envelope at dim 64)."""
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None or first[vec_col] is None:
+            id_type = dict(df.dtypes)[id_col]
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_type}, id_b {id_type}")
+        dim = len(first[vec_col])
+    spark = df.sparkSession
+    _buckets = _hyperplane_bucket_udf(spark, n_planes, n_tables, dim, seed)
+    keyed = (df.withColumn("_b", _buckets(F.col(vec_col)))
+             .select(F.col(id_col).alias("_id"),
+                     F.posexplode("_b").alias("table", "bucket")))
+    a = keyed.select(F.col("_id").alias("id_a"), "table", "bucket")
+    b = keyed.select(F.col("_id").alias("id_b"), "table", "bucket")
+    pairs = (a.join(b, ["table", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    va = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("_va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("_vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+            .filter(dot / F.greatest(na * nb, F.lit(1e-12))
+                    >= F.lit(min_cosine))
+            .select("id_a", "id_b"))
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 12, n_tables: int = 4, dim: int | None = None,
@@ -194,27 +283,8 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                 [], f"query_id {qid_type}, neighbor_id {qid_type}, "
                     f"cosine double, rank int")
         dim = len(first[vec_col])
-    rs = np.random.RandomState(seed)
-    planes = rs.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
     spark = queries.sparkSession
-    b_planes = spark.sparkContext.broadcast(planes)
-
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
-
-    @pandas_udf(ArrayType(LongType()))
-    def _buckets(vecs: pd.Series) -> pd.Series:
-        P = b_planes.value
-        V = np.array(vecs.to_list(), dtype=np.float32)  # (n, dim)
-        out = []
-        # (tables, n, planes) sign bits -> packed ints
-        for t in range(P.shape[0]):
-            proj = V @ P[t].T > 0
-            packed = (proj.astype(np.int64) <<
-                      np.arange(P.shape[1], dtype=np.int64)[None, :]).sum(axis=1)
-            out.append(packed)
-        arr = np.stack(out, axis=1)  # (n, tables)
-        return pd.Series([row.tolist() for row in arr])
+    _buckets = _hyperplane_bucket_udf(spark, n_planes, n_tables, dim, seed)
 
     def keyed(df, prefix):
         return (df

@@ -94,6 +94,35 @@ def test_lsh_topk_finds_close_pair(vectors):
     assert len(hits) == 1 and hits.iloc[0].neighbor_id == 0
 
 
+def test_lsh_bucket_pairs_matches_numpy_reference(vectors):
+    """lsh_bucket_pairs (the hash-checkable LSH entry) must equal an
+    independent numpy replay of the same planes: per-table sign
+    buckets, collision pairs, exact cosine gate. Pins the bucketing
+    shared with lsh_topk via lsh_planes."""
+    out = ann.lsh_bucket_pairs(vectors, n_planes=8, n_tables=6,
+                               dim=16, min_cosine=0.1).toPandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+
+    rows = vectors.orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    V = np.array([r.embedding for r in rows], dtype=np.float32)
+    P = ann.lsh_planes(8, 6, 16, 7)
+    pairs = set()
+    for t in range(P.shape[0]):
+        b = ((V @ P[t].T > 0).astype(np.int64)
+             << np.arange(P.shape[1])).sum(axis=1)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if b[i] == b[j]:
+                    pairs.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    Vd = V.astype(np.float64)
+    nrm = np.linalg.norm(Vd, axis=1)
+    idx = {v: k for k, v in enumerate(ids)}
+    want = {(a, b) for a, b in pairs
+            if Vd[idx[a]] @ Vd[idx[b]] / (nrm[idx[a]] * nrm[idx[b]]) >= 0.1}
+    assert got == want and len(want) >= 1
+
+
 def test_ivf_topk_exact_when_probing_all(vectors):
     """n_probe = n_cells degenerates to brute force: identical output."""
     exact = ann.brute_force_topk(vectors, vectors, k=3).toPandas()
