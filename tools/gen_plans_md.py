@@ -99,6 +99,48 @@ def main():
         "rank+margin share a single window spec.",
         r"ArrowEvalPython \[_feat|HashAggregate|Window \[row_number")
 
+    # 5. J6 spatial grid join (engine-side 2-D variant)
+    spatial = C.cand_spatial(uaddr, gazp)
+    add("J6 spatial proximity grid join", spatial,
+        "ST_DWithin(R=100m) as a grid-cell equi-join: the doc side "
+        "explodes into its 3x3 neighbor cells, both sides join on "
+        "(cell_x, cell_y), exact Euclidean filter after. No cartesian "
+        "product, no UDF; the bench's denser 1-D variant uses a "
+        "half-plane d in {0,+1} explode to halve the pair volume.",
+        r"Join \w+join|Generate explode|CartesianProduct")
+
+    # 6. MinHash banded-LSH near-dup candidates
+    texts = spark.range(200).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.expr("concat_ws(' ', transform(sequence(1, 30), "
+               "i -> conv(pmod(xxhash64(id % 40, i), 1000), 10, 36)))")
+        .alias("text"))
+    from ehdc_llpg_address_matching_spark.operators.dedup import \
+        minhash_band_candidates
+    bands = minhash_band_candidates(texts)
+    add("MinHash banded-LSH near-dup candidates", bands,
+        "Signatures band into (band_idx, band_hash) keys; candidates "
+        "come from an equi-join on those keys (band index in the key = "
+        "built-in salting), never an all-pairs comparison. One Arrow "
+        "eval computes the 64-hash signature per doc.",
+        r"Join \w+join|ArrowEvalPython|CartesianProduct")
+
+    # 7. LSH ANN top-k: ids-only dedupe shuffle (round-4 advice fix)
+    from ehdc_llpg_address_matching_spark.operators.ann import lsh_topk
+    vecs = spark.range(150).select(
+        F.col("id").cast("string").alias("vec_id"),
+        F.expr("transform(sequence(1, 16), "
+               "i -> cast(pmod(xxhash64(id, i), 1000) as double)/1000.0)")
+        .alias("embedding"))
+    ann = lsh_topk(vecs, vecs, k=5, dim=16)
+    add("LSH ANN top-k: ids-only dedupe shuffle", ann,
+        "Bucket-collision candidates are deduped on (q_id, c_id) ONLY "
+        "— the HashAggregate below shuffles two id columns, never the "
+        "embedding payloads (dim x 8 bytes per row per bucket "
+        "collision; ~100x shuffle cut at 384 dims). Vectors re-attach "
+        "by equi-join on the surviving pairs, each exactly once.",
+        r"HashAggregate\(keys=\[q_id|Join \w+join")
+
     body = (
         "# PLANS — physical-plan audit\n\n"
         "Generated by `tools/gen_plans_md.py`; invariants asserted in "
