@@ -133,3 +133,51 @@ def test_wholestage_codegen_covers_column_features(spark, prepared):
     assert r["wholestage_codegen"] >= 1
     # column features are pure JVM — no scoring UDF in this subplan
     assert not re.findall(r"ArrowEvalPython \[_feat", p)
+
+def test_spatial_grid_join_no_cartesian(spark, prepared):
+    """J6: the 100 m ST_DWithin must plan as a grid-cell equi-join
+    (3x3 neighbor explode on the doc side), never a cartesian/NLJ."""
+    gazp, _, uaddr, _ = prepared
+    df = C.cand_spatial(uaddr, gazp)
+    r = plan_report(df)
+    assert r["nested_loop_joins"] == 0
+    assert (r["sort_merge_joins"] + r["shuffled_hash_joins"]
+            + r["broadcast_hash_joins"]) >= 1
+
+
+def test_minhash_band_candidates_equi_join(spark):
+    """Near-dup candidates come from a (band_idx, band_hash) equi-join,
+    never an all-pairs comparison."""
+    from ehdc_llpg_address_matching_spark.operators.dedup import \
+        minhash_band_candidates
+    texts = spark.range(60).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.expr("concat_ws(' ', transform(sequence(1, 30), "
+               "i -> conv(pmod(xxhash64(id % 20, i), 1000), 10, 36)))")
+        .alias("text"))
+    r = plan_report(minhash_band_candidates(texts))
+    assert r["nested_loop_joins"] == 0
+    assert (r["sort_merge_joins"] + r["shuffled_hash_joins"]
+            + r["broadcast_hash_joins"]) >= 1
+
+
+def test_lsh_ann_dedupe_shuffles_ids_only(spark):
+    """The bucket-collision dedupe must aggregate on (q_id, c_id) with
+    no embedding payload in the grouping keys or output (round-4
+    advice: vectors rode the distinct shuffle at dim x 8 bytes/row)."""
+    import re
+    from ehdc_llpg_address_matching_spark.operators.ann import lsh_topk
+    vecs = spark.range(50).select(
+        F.col("id").cast("string").alias("vec_id"),
+        F.expr("transform(sequence(1, 16), "
+               "i -> cast(pmod(xxhash64(id, i), 1000) as double)/1000.0)")
+        .alias("embedding"))
+    p = physical_plan(lsh_topk(vecs, vecs, k=3, dim=16))
+    dedupes = re.findall(r"HashAggregate\(keys=\[([^\]]*)\], functions=\[\]",
+                         p)
+    assert dedupes, p[:500]
+    for keys in dedupes:
+        assert "q_id" in keys and "c_id" in keys
+        assert "vec" not in keys and "embedding" not in keys
+    r = plan_report(lsh_topk(vecs, vecs, k=3, dim=16))
+    assert r["nested_loop_joins"] == 0
