@@ -524,11 +524,13 @@ def q_simhash_pairs(spark, sf):
 
 
 def q_lsh_ann_topk(spark, sf):
-    """LSH ANN with an IN-ENTRY recall audit against the (separately
-    oracle-checked) brute-force top-k: each output row carries the
-    query's recall@k, so the driver's rows-only record pins the recall
-    values, not just a row count. The pytest gate
-    (tests/test_dedup_ann_text.py) asserts mean recall >= 0.9."""
+    """LSH ANN recall@k per query against the brute-force top-k.
+    FULLY oracle-checked since round 5: the DuckDB mirror replays the
+    hyperplane bucketing, both top-3 rankings and the recall division
+    in f64 SQL (_lsh_ann_topk_oracle_sql — set-membership semantics
+    plus pytest-gated boundary headroom make the cross-arithmetic
+    compare safe). The pytest gate (tests/test_dedup_ann_text.py)
+    additionally asserts mean recall >= 0.9."""
     from ehdc_llpg_address_matching_spark.operators.ann import (
         brute_force_topk, lsh_topk)
     emb = _t(spark, sf, "embeddings")
@@ -576,11 +578,10 @@ def q_lsh_bucket_pairs(spark, sf):
     return lsh_bucket_pairs(emb, dim=64, min_cosine=0.2)
 
 
-def _lsh_bucket_pairs_oracle_sql() -> str:
-    """DuckDB mirror of q_lsh_bucket_pairs: rebuilds the per-table sign
-    buckets from plane literals (float32-rounded exactly as the engine
-    broadcasts them — lsh_planes rounds BEFORE any projection), joins
-    collisions, applies the same cosine gate. Sign margins of the
+def _lsh_bucket_unions_sql() -> str:
+    """Shared CTE body: per-table sign buckets rebuilt from plane
+    literals (float32-rounded exactly as the engine broadcasts them —
+    lsh_planes rounds BEFORE any projection). Sign margins of the
     projections on the fixed test corpus are >= 6e-5, ~10x the f32
     rounding envelope at dim 64, so f32 (engine) vs f64 (oracle)
     arithmetic cannot flip a bucket bit."""
@@ -596,9 +597,16 @@ def _lsh_bucket_pairs_oracle_sql() -> str:
                 f"DOUBLE[]), [{vec}]) > 0 THEN {1 << p} ELSE 0 END)")
         return " + ".join(terms)
 
-    unions = "\n UNION ALL ".join(
+    return "\n UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket "
         f"FROM embeddings" for t in range(4))
+
+
+def _lsh_bucket_pairs_oracle_sql() -> str:
+    """DuckDB mirror of q_lsh_bucket_pairs: rebuilds the per-table sign
+    buckets (see _lsh_bucket_unions_sql), joins collisions, applies
+    the same cosine gate."""
+    unions = _lsh_bucket_unions_sql()
     return f"""
         WITH b AS ({unions}),
         cand AS (
@@ -612,6 +620,64 @@ def _lsh_bucket_pairs_oracle_sql() -> str:
         WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                      CAST(eb.embedding AS DOUBLE[]))
               >= 0.2"""
+
+
+def _lsh_ann_topk_oracle_sql() -> str:
+    """DuckDB mirror of q_lsh_ann_topk: replays the FULL computation —
+    the hyperplane bucketing (same plane literals as the bucket-pair
+    oracle), the LSH candidate top-3, the brute-force top-3, and the
+    per-query recall@k — in f64 SQL. Safe against the engine's f32
+    arithmetic because recall depends only on top-3 SET membership,
+    never on within-set order: on the pinned corpus the brute-force
+    rank-3-vs-4 cosine gap is >= 2.2e-4 per query, ~1000x the measured
+    f32-vs-f64 GEMM discrepancy (1.8e-7, tests/test_vector_oracle.py),
+    and bucket membership itself has >= 6e-5 sign margins
+    (_lsh_bucket_unions_sql). The headroom is pytest-gated
+    (tests/test_vector_oracle.py::test_lsh_ann_topk_oracle_headroom)
+    so corpus regeneration cannot silently make the compare flaky."""
+    unions = _lsh_bucket_unions_sql()
+    return f"""
+        WITH b AS ({unions}),
+        lsh_cand AS (
+          SELECT DISTINCT a.vec_id AS q_id, c.vec_id AS c_id
+          FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+          WHERE a.vec_id < 20 AND a.vec_id <> c.vec_id),
+        lsh_ranked AS (
+          SELECT q_id, c_id,
+                 row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY list_cosine_similarity(
+                              CAST(eq.embedding AS DOUBLE[]),
+                              CAST(ec.embedding AS DOUBLE[])) DESC,
+                            c_id ASC) AS rnk
+          FROM lsh_cand
+          JOIN embeddings eq ON eq.vec_id = lsh_cand.q_id
+          JOIN embeddings ec ON ec.vec_id = lsh_cand.c_id),
+        bf_ranked AS (
+          SELECT eq.vec_id AS q_id, ec.vec_id AS c_id,
+                 row_number() OVER (
+                   PARTITION BY eq.vec_id
+                   ORDER BY list_cosine_similarity(
+                              CAST(eq.embedding AS DOUBLE[]),
+                              CAST(ec.embedding AS DOUBLE[])) DESC,
+                            ec.vec_id ASC) AS rnk
+          FROM embeddings eq JOIN embeddings ec
+               ON eq.vec_id <> ec.vec_id
+          WHERE eq.vec_id < 20),
+        bf3 AS (SELECT q_id, c_id FROM bf_ranked WHERE rnk <= 3),
+        lsh3 AS (SELECT q_id, c_id FROM lsh_ranked WHERE rnk <= 3),
+        hits AS (
+          SELECT bf3.q_id, count(*) AS n_hit
+          FROM bf3 JOIN lsh3 ON bf3.q_id = lsh3.q_id
+                            AND bf3.c_id = lsh3.c_id
+          GROUP BY bf3.q_id),
+        truth AS (
+          SELECT q_id, count(*) AS n_true FROM bf3 GROUP BY q_id)
+        SELECT truth.q_id AS query_id,
+               round(coalesce(hits.n_hit, 0) * 1.0 / truth.n_true, 4)
+                 AS recall_at_k
+        FROM truth LEFT JOIN hits ON truth.q_id = hits.q_id
+        ORDER BY query_id"""
 
 
 def q_connected_components(spark, sf):
@@ -1669,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         _fix("linkage_full"), _fix("linkage_phased"))
     # generated (plane literals), not a hand-written string
     out["lsh_bucket_pairs"] = _lsh_bucket_pairs_oracle_sql()
+    out["lsh_ann_topk"] = _lsh_ann_topk_oracle_sql()
     return out
 
 

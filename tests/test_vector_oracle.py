@@ -105,3 +105,81 @@ def test_vector_fixture_is_decisive(vec_fixture, spark):
     n_vec = (fx["out"]["matches"]
              .filter(F.col("method").contains("vector")).count())
     assert n_vec > 0
+
+
+# ---------------------------------------------------------------------------
+# lsh_ann_topk oracle headroom (round 5: the entry went rows-only ->
+# fully oracled; this pins the float-safety argument on the EXACT
+# corpus the driver hashes)
+# ---------------------------------------------------------------------------
+
+_SF001 = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_SF001),
+                    reason="driver compare corpus not present")
+def test_lsh_ann_topk_oracle_headroom():
+    """The lsh_ann_topk oracle replays bucketing + both top-3 rankings
+    + recall in f64 SQL while the engine computes in (mixed) f32.
+    recall@k depends only on top-3 SET membership, so the compare is
+    safe iff, on the pinned corpus: (1) hyperplane sign margins dwarf
+    the f32 envelope (bucket membership stable), (2) the brute-force
+    rank-3-vs-4 cosine gap per query dwarfs the cross-impl cosine
+    diff, and (3) same for the LSH candidate sets (queries with <= 3
+    candidates are trivially stable). Asserted at 50x headroom so a
+    testdata regeneration that lands a near-tie fails HERE before it
+    flakes the driver's hash compare."""
+    from ehdc_llpg_address_matching_spark.operators.ann import lsh_planes
+
+    emb = pd.read_parquet(_SF001).sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    V32 = np.array(emb["embedding"].tolist(), dtype=np.float32)
+    V32 = V32 / np.maximum(np.linalg.norm(V32, axis=1, keepdims=True), 1e-12)
+    V64 = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    V64 = V64 / np.maximum(np.linalg.norm(V64, axis=1, keepdims=True), 1e-12)
+    qmask = ids < 20
+
+    # cross-impl cosine envelope on the query x corpus block
+    C32 = (V32[qmask] @ V32.T).astype(np.float64)
+    C64 = V64[qmask] @ V64.T
+    envelope = float(np.abs(C32 - C64).max())
+    assert envelope < 1e-5
+
+    # (1) bucket-membership sign margins (all rows, all 4 tables)
+    P = lsh_planes(12, 4, 64, 7)
+    margins = min(float(np.abs(V64 @ P[t].T.astype(np.float64)).min())
+                  for t in range(4))
+    assert margins > 50 * max(envelope, 1e-9), (
+        f"sign margin {margins} too close to f32 envelope {envelope}")
+
+    # (2) brute-force top-3 boundary gap + identical sets
+    self_cols = np.array([np.nonzero(ids == q)[0][0]
+                          for q in ids[qmask]])
+    for C in (C32, C64):
+        C[np.arange(qmask.sum()), self_cols] = -2.0
+    order32 = np.argsort(-C32, axis=1, kind="stable")
+    order64 = np.argsort(-C64, axis=1, kind="stable")
+    gap = (np.take_along_axis(C64, order64[:, 2:3], axis=1)
+           - np.take_along_axis(C64, order64[:, 3:4], axis=1))
+    assert float(gap.min()) > 50 * max(envelope, 1e-9), (
+        f"bf rank-3/4 gap {float(gap.min())} vs envelope {envelope}")
+    for r in range(qmask.sum()):
+        assert set(ids[order32[r, :3]]) == set(ids[order64[r, :3]])
+
+    # (3) LSH candidate sets: top-3 boundary stable per query
+    buckets = [((V64 @ P[t].T > 0).astype(np.int64)
+                << np.arange(12)).sum(axis=1) for t in range(4)]
+    idx_of = {v: k for k, v in enumerate(ids)}
+    for r, q in enumerate(ids[qmask]):
+        qi = idx_of[q]
+        cand = set()
+        for b in buckets:
+            cand.update(ids[np.nonzero(b == b[qi])[0]])
+        cand.discard(q)
+        cand_idx = np.array(sorted(idx_of[c] for c in cand), dtype=int)
+        if len(cand_idx) <= 3:
+            continue  # set membership trivially stable
+        cos = C64[r, cand_idx]
+        srt = np.sort(cos)[::-1]
+        assert float(srt[2] - srt[3]) > 50 * max(envelope, 1e-9), (
+            f"query {q}: lsh top-3 boundary gap {float(srt[2]-srt[3])}")
