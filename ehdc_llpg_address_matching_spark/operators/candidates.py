@@ -70,7 +70,9 @@ def prepare_gazetteer(gaz: DataFrame) -> DataFrame:
     drop = [c for c in ("postcode", "house_number", "street", "locality",
                         "tokens", "house_numbers")
             if c in gaz.columns]
-    g = with_canonical(gaz.drop(*drop), raw_col="full_address")
+    from ..session import spread_for_udf
+    g = with_canonical(spread_for_udf(gaz.drop(*drop)),
+                       raw_col="full_address")
     g = with_components(g, raw_col="full_address")
     g = with_street_phonetic(g, street_col="c_street")
     g = expand_ranges(g)
@@ -245,10 +247,6 @@ def cand_component_joins(uaddr: DataFrame, gazp: DataFrame,
     gram arrays — identical values to the Python kernel)."""
     from ..functions.similarity import trigram_grams_expr, trigram_sim_expr
 
-    def _sim(x, y):
-        return trigram_sim_expr(trigram_grams_expr(F.col(x)),
-                                trigram_grams_expr(F.col(y)))
-
     nh = norm_house_expr
     opt = lambda df, c: (F.col(c) if c in df.columns
                          else F.lit("")).alias(c)
@@ -284,14 +282,23 @@ def cand_component_joins(uaddr: DataFrame, gazp: DataFrame,
     # A pair whose street typo changes the phonetic skeleton still
     # meets via the J3 blocked join; this strategy exists to catch
     # same-sounding misspellings with a confirmed house number.
+    # (c)/(d) trigram verifies: gram arrays are computed once per SIDE
+    # row (before the join fan-out) and ride the equi-join —
+    # trigram_grams_expr is interpreted (nested higher-order functions
+    # are CodegenFallback), so per-pair evaluation was measurably the
+    # strategy's dominant cost (round-6 profile); per-side arrays make
+    # the pair verify pure codegen set algebra, the same shape
+    # scoring.attach_pair_attrs already uses.
     c = (d.filter((F.col("d_st") != "") & (F.col("d_h") != "") &
                   (F.col("d_phon") != ""))
+         .withColumn("_dsg", trigram_grams_expr(F.col("d_st")))
          .join(g.filter((F.col("g_st") != "") & (F.col("g_h") != "") &
-                        (F.col("g_phon") != "")),
+                        (F.col("g_phon") != ""))
+                .withColumn("_gsg", trigram_grams_expr(F.col("g_st"))),
                (F.col("d_phon") == F.col("g_phon")) &
                (F.col("d_h") == F.col("g_h")))
          .filter(F.col("d_st") != F.col("g_st"))  # exact handled by (b)
-         .withColumn("_ssim", _sim("d_st", "g_st"))
+         .withColumn("_ssim", trigram_sim_expr(F.col("_dsg"), F.col("_gsg")))
          .filter(F.col("_ssim") >= fuzzy_street_sim)
          .select("addr_id", "uprn")
          .withColumn("method", F.lit("comp_fuzzy_road")))
@@ -299,12 +306,14 @@ def cand_component_joins(uaddr: DataFrame, gazp: DataFrame,
     # SPENCER'): block on (first name token, locality), trigram verify
     nm = (d.filter(F.col("d_name") != "")
           .withColumn("_tok1", F.split("d_name", " ").getItem(0))
+          .withColumn("_dng", trigram_grams_expr(F.col("d_name")))
           .join(g.filter(F.col("g_name") != "")
-                 .withColumn("_tok1", F.split("g_name", " ").getItem(0)),
+                 .withColumn("_tok1", F.split("g_name", " ").getItem(0))
+                 .withColumn("_gng", trigram_grams_expr(F.col("g_name"))),
                 "_tok1")
           .filter((F.col("d_loc") == "") | (F.col("g_loc") == "") |
                   (F.col("d_loc") == F.col("g_loc")))
-          .withColumn("_nsim", _sim("d_name", "g_name"))
+          .withColumn("_nsim", trigram_sim_expr(F.col("_dng"), F.col("_gng")))
           .filter(F.col("_nsim") >= name_sim)
           .select("addr_id", "uprn")
           .withColumn("method", F.lit("business_name")))
@@ -450,11 +459,27 @@ def cand_rule_rewrite(uaddr: DataFrame, gazp: DataFrame,
     adj = (F.when(F.col("sim") >= 0.90, F.col("base_conf") + 0.10)
            .when(F.col("sim") >= 0.80, F.col("base_conf") + 0.05)
            .otherwise(F.col("base_conf")))
+    # Per-SIDE gram arrays, re-attached to the candidate pairs by
+    # equi-join — NOT computed per pair: trigram_grams_expr is built
+    # from nested higher-order functions (transform/flatten), which are
+    # CodegenFallback in Spark (interpreted, ~10-100x slower than
+    # codegen), so evaluating it once per candidate row was this
+    # generator's dominant cost (round-6 measured: 55 s for the sim
+    # filter over 57K pairs at the 20K-doc bench corpus vs ~1 s per
+    # side). One gram row per rewritten address (addr_id is unique in
+    # `rw` — first-matching-rule) and per DISTINCT gazetteer core
+    # string; both frames are small next to the pair set, and at scale
+    # the re-attach is the standard decide-small/attach-once shape.
+    rw_grams = rw.select("addr_id",
+                         trigram_grams_expr(F.col("rw")).alias("_rwg"))
+    g_grams = (gazp.select(F.col("addr_core").alias("g_core")).distinct()
+               .select("g_core",
+                       trigram_grams_expr(F.col("g_core")).alias("_gg")))
     return (cand
+            .join(rw_grams, "addr_id")
+            .join(g_grams, "g_core")
             # JVM trigram verify (identical values to the Python kernel)
-            .withColumn("sim",
-                        trigram_sim_expr(trigram_grams_expr(F.col("rw")),
-                                         trigram_grams_expr(F.col("g_core"))))
+            .withColumn("sim", trigram_sim_expr(F.col("_rwg"), F.col("_gg")))
             .filter(F.col("sim") >= min_sim)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= top_k)
@@ -529,10 +554,21 @@ def cand_hierarchical(uaddr: DataFrame, gazp: DataFrame,
     lvl_rank = F.when(F.col("level_name") == "postcode_house", 1) \
         .otherwise(2)
     w_min = Window.partitionBy("addr_id")
+    # EAGER CHECKPOINT each level frame that is referenced more than
+    # once below. Without it Spark re-plans and RE-EXECUTES the whole
+    # upstream join tree per reference: upper12 feeds the final union
+    # AND resid3 AND (via resid3/resid4/resid5) every lower level, so
+    # its join+window subtree executed ~8 times (doubling per level) —
+    # round-6 measured 27.6 s for this generator at the 20K-doc bench
+    # corpus, dominated by exactly this re-execution. The checkpointed
+    # frames are small (candidate ids + level confidence), so this is
+    # the same phase-boundary materialization the pipeline already
+    # applies to the candidate union, not a payload write.
     upper12 = (upper12.withColumn("_lr", lvl_rank)
                .withColumn("_best", F.min("_lr").over(w_min))
                .filter(F.col("_lr") == F.col("_best"))
-               .drop("_lr", "_best"))
+               .drop("_lr", "_best")) \
+        .localCheckpoint(eager=True)
 
     # level 3 (street+locality — the WIDEST selective key) only for the
     # residue levels 1-2 missed: the min-level window used to discard
@@ -543,7 +579,8 @@ def cand_hierarchical(uaddr: DataFrame, gazp: DataFrame,
                     "left_anti")
     l3 = lvl(resid3.filter((F.col("d_st") != "") & (F.col("d_loc") != ""))
              .join(g, (F.col("d_st") == F.col("g_st")) &
-                   (F.col("d_loc") == F.col("g_loc"))), "street_locality")
+                   (F.col("d_loc") == F.col("g_loc"))), "street_locality") \
+        .localCheckpoint(eager=True)  # referenced by union AND resid4
     upper = upper12.unionByName(l3)
 
     # levels 4-5 only for the residue (anti-join): phonetic street,
@@ -552,7 +589,8 @@ def cand_hierarchical(uaddr: DataFrame, gazp: DataFrame,
                          "left_anti")
     l4 = lvl(resid4.filter(F.col("d_phon") != "")
              .join(g.filter(F.col("g_phon") != ""),
-                   F.col("d_phon") == F.col("g_phon")), "street_phonetic")
+                   F.col("d_phon") == F.col("g_phon")), "street_phonetic") \
+        .localCheckpoint(eager=True)  # referenced by union AND resid5
     resid5 = resid4.join(l4.select("addr_id").distinct(), "addr_id",
                          "left_anti")
     l5 = lvl(resid5.filter(F.col("d_loc") != "")

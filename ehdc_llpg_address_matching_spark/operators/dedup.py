@@ -76,6 +76,8 @@ def with_minhash(df: DataFrame, text_col: str = "text",
     correlated: measured per-hash agreement 0.472 at J=0.5 and a 1e-2
     banding miss rate where the analytic bound says 1e-4 — caught by
     test_minhash_lsh_planted_pair_recall, which gates this family."""
+    from ..session import spread_for_udf
+    df = spread_for_udf(df)
     rs = np.random.RandomState(seed)
     Z = rs.randint(0, 1 << 63, size=num_hashes,
                    dtype=np.int64).astype(np.uint64)
@@ -159,6 +161,9 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     fingerprint = sign of sum over tokens of (+-1 per token-hash bit)."""
     from pyspark.sql.functions import pandas_udf
 
+    from ..session import spread_for_udf
+    df = spread_for_udf(df)
+
     @pandas_udf(LongType())
     def _sh(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
@@ -180,7 +185,8 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _simhash_candidates(df: DataFrame, text_col: str, id_col: str,
-                        n_chunks: int, max_hamming: int) -> DataFrame:
+                        n_chunks: int, max_hamming: int,
+                        dedupe: bool = True) -> DataFrame:
     """Banded simhash collision candidates (id_a < id_b, hamming <=
     max_hamming): the 64 bits split into n_chunks equal chunks;
     pigeonhole guarantees any pair at hamming <= n_chunks-1 agrees on
@@ -207,11 +213,13 @@ def _simhash_candidates(df: DataFrame, text_col: str, id_col: str,
                         F.col("simhash").alias("sh_b"),
                         "chunk_idx", "chunk_val")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (a.join(b, ["chunk_idx", "chunk_val"])
-            .filter((F.col("id_a") < F.col("id_b")) &
-                    (ham <= F.lit(max_hamming)))
-            .select("id_a", "id_b", ham.alias("hamming"))
-            .distinct())
+    out = (a.join(b, ["chunk_idx", "chunk_val"])
+           .filter((F.col("id_a") < F.col("id_b")) &
+                   (ham <= F.lit(max_hamming)))
+           .select("id_a", "id_b", ham.alias("hamming")))
+    # dedupe=False lets simhash_near_dup skip this shuffle and fold the
+    # multi-chunk dedupe into its single union+distinct pass
+    return out.distinct() if dedupe else out
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
@@ -244,7 +252,8 @@ def minhash_near_dup(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", shingle_k: int = 5,
                      jaccard_threshold: float = 0.5,
                      bands: int = 32, num_hashes: int = 64,
-                     candidates: DataFrame | None = None) -> DataFrame:
+                     candidates: DataFrame | None = None,
+                     shingles: DataFrame | None = None) -> DataFrame:
     """Oracle-exact near-dup: banded minhash LSH candidates -> EXACT
     shingle-Jaccard verify at the real threshold. Output
     (id_a, id_b, jaccard) equals the all-pairs exact answer whenever
@@ -273,7 +282,8 @@ def minhash_near_dup(df: DataFrame, text_col: str = "text",
     return shingle_jaccard_verify_jvm(candidates.select("id_a", "id_b"),
                                       df, text_col=text_col,
                                       id_col=id_col, shingle_k=shingle_k,
-                                      threshold=jaccard_threshold)
+                                      threshold=jaccard_threshold,
+                                      shingles=shingles)
 
 
 def simhash_near_dup(df: DataFrame, text_col: str = "text",
@@ -282,7 +292,8 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text",
                      n_chunks: int = 6,
                      prefilter_hamming: int | None = None,
                      supplement_lsh: bool = True,
-                     lsh_candidates: DataFrame | None = None) -> DataFrame:
+                     lsh_candidates: DataFrame | None = None,
+                     shingles: DataFrame | None = None) -> DataFrame:
     """Oracle-exact near-dup via the simhash candidate generator:
     banded simhash collisions (6 x 10-bit chunks over bits 0-59;
     flips in the 4 uncovered bits cannot break chunk agreement) ->
@@ -313,22 +324,31 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text",
     round-3 regression (this entry paying the full minhash generator
     a second time, 2.3 s -> 9.4 s at sf0.1) can't recur.
 
-    prefilter_hamming default is ADAPTIVE: 8 when the LSH supplement is
+    prefilter_hamming default is ADAPTIVE: 5 when the LSH supplement is
     on, 15 standalone. Rationale: real J >= 0.5 pairs measure hamming
     up to ~13-15, so a standalone simhash pass must gate at 15 — but
     common-token bias makes hamming <= 15 frequent among unrelated
-    docs too (measured sf0.1: 1.8M candidates at 15 vs 139K at 8, the
-    gate being the entry's dominant cost). With the supplement, a true
-    pair missed by the tightened gate (hamming 9-15) is caught by the
-    32x2-band minhash path w.p. 1 - (1-J^2)^32 >= 1 - 1e-4 at J = 0.5
-    — the SAME joint-miss bound the minhash-only entry already
+    docs too (measured sf0.1: 1.8M candidates at 15, 139K at 8, 20K at
+    5 — the gate is the entry's dominant cost, both the in-join filter
+    volume and the downstream distinct+verify volume). With the
+    supplement, a true pair missed by the tightened gate is caught by
+    the 32x2-band minhash path w.p. 1 - (1-J^2)^32 >= 1 - 1e-4 at
+    J = 0.5 — the SAME joint-miss bound the minhash-only entry already
     carries, so tightening costs no recall the pipeline didn't already
-    accept."""
+    accept. 5 = n_chunks - 1 is the natural setting: it is exactly the
+    class the 6-chunk pigeonhole banding GUARANTEES to surface (round
+    5 shipped 8 as a belt-and-braces middle, but pairs at hamming 6-8
+    were never guaranteed by the banding either — they relied on the
+    same LSH supplement as 9-15, while costing 7x the candidate
+    volume)."""
     if prefilter_hamming is None:
-        prefilter_hamming = 8 if supplement_lsh else 15
+        prefilter_hamming = 5 if supplement_lsh else 15
     cand = _simhash_candidates(df, text_col, id_col, n_chunks,
-                               prefilter_hamming).select("id_a", "id_b")
+                               prefilter_hamming,
+                               dedupe=not supplement_lsh) \
+        .select("id_a", "id_b")
     if supplement_lsh:
+        # single distinct for both the multi-chunk dupes and the union
         mh = (lsh_candidates.select("id_a", "id_b")
               if lsh_candidates is not None
               else minhash_band_candidates(df, text_col, id_col,
@@ -337,7 +357,8 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text",
     return shingle_jaccard_verify_jvm(cand, df,
                                       text_col=text_col, id_col=id_col,
                                       shingle_k=shingle_k,
-                                      threshold=jaccard_threshold)
+                                      threshold=jaccard_threshold,
+                                      shingles=shingles)
 
 
 def with_shingles(df: DataFrame, text_col: str = "text",
@@ -346,6 +367,9 @@ def with_shingles(df: DataFrame, text_col: str = "text",
     shingle hashes — computed ONCE PER DOC so pair verification can be
     pure JVM set algebra instead of per-pair Python."""
     from pyspark.sql.functions import pandas_udf
+
+    from ..session import spread_for_udf
+    df = spread_for_udf(df)
 
     @pandas_udf(ArrayType(LongType()))
     def _sh(texts: pd.Series) -> pd.Series:
@@ -359,13 +383,22 @@ def shingle_jaccard_verify_jvm(pairs: DataFrame, docs: DataFrame,
                                text_col: str = "text",
                                id_col: str = "doc_id",
                                shingle_k: int = 5,
-                               threshold: float = 0.7) -> DataFrame:
+                               threshold: float = 0.7,
+                               shingles: DataFrame | None = None) -> DataFrame:
     """Exact shingle-Jaccard verify with whole-stage-codegen set ops:
     per-doc shingle arrays (one Arrow pass over DOCS, not pairs) joined
     onto the candidate pairs, then size(intersect)/size(union) in the
     JVM. Same numbers as ngram_jaccard_verify; ~10x cheaper when the
-    candidate set is large because no pair ever crosses into Python."""
-    d = with_shingles(docs.select(id_col, text_col), text_col, shingle_k)
+    candidate set is large because no pair ever crosses into Python.
+
+    shingles: a precomputed with_shingles frame (same shingle_k) —
+    callers that verify several candidate generators over one corpus
+    (minhash + simhash entries, near-dup clustering) compute the
+    per-doc shingle pass ONCE and share it, instead of paying the
+    Arrow shingle UDF per verify."""
+    d = (shingles if shingles is not None
+         else with_shingles(docs.select(id_col, text_col), text_col,
+                            shingle_k))
     j = (pairs
          .join(d.select(F.col(id_col).alias("id_a"),
                         F.col("shingles").alias("sh_set_a")), "id_a")
@@ -383,7 +416,8 @@ def shingle_jaccard_verify_jvm(pairs: DataFrame, docs: DataFrame,
 def near_dup_clusters(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_k: int = 5,
                       jaccard_threshold: float = 0.5,
-                      candidates: DataFrame | None = None) -> DataFrame:
+                      candidates: DataFrame | None = None,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """The full corpus-dedup composite a training pipeline runs:
     minhash-LSH candidates -> exact shingle-Jaccard verify ->
     large-star/small-star connected components over the verified pairs
@@ -393,7 +427,8 @@ def near_dup_clusters(df: DataFrame, text_col: str = "text",
     from .cluster import connected_components
 
     pairs = minhash_near_dup(df, text_col, id_col, shingle_k,
-                             jaccard_threshold, candidates=candidates)
+                             jaccard_threshold, candidates=candidates,
+                             shingles=shingles)
     # CC picks the lexicographic-min node label as the component id;
     # zero-pad numeric ids so string order == numeric order
     id_type = dict(df.dtypes)[id_col]

@@ -68,10 +68,23 @@ def group_fuzzy_rescue(docs_n: DataFrame, doc_matches: DataFrame,
             .select(group_col, "addr_core", "uprn", "g_core"))
 
     # trigram verify in whole-stage codegen (identical values to the
-    # Python kernel — functions/similarity.trigram_sim_expr)
-    cand = cand.withColumn(
-        "sim", trigram_sim_expr(trigram_grams_expr(F.col("addr_core")),
-                                trigram_grams_expr(F.col("g_core"))))
+    # Python kernel — functions/similarity.trigram_sim_expr). Gram
+    # arrays are computed once per SIDE (per group representative /
+    # per distinct gazetteer core) and re-attached by equi-join:
+    # trigram_grams_expr's nested higher-order functions are
+    # interpreted (CodegenFallback), so per-pair evaluation pays
+    # 10-100x per row (round-6 rule-rewrite measurement).
+    rep_grams = rep.select(group_col,
+                           trigram_grams_expr(F.col("addr_core"))
+                           .alias("_rg"))
+    g_grams = (gazp.select(F.col("addr_core").alias("g_core")).distinct()
+               .select("g_core",
+                       trigram_grams_expr(F.col("g_core")).alias("_gg")))
+    cand = (cand
+            .join(rep_grams, group_col)
+            .join(g_grams, "g_core")
+            .withColumn("sim", trigram_sim_expr(F.col("_rg"), F.col("_gg")))
+            .drop("_rg", "_gg"))
     w = Window.partitionBy(group_col).orderBy(F.desc("sim"), F.asc("uprn"))
     winner = (cand
               .withColumn("_rn", F.row_number().over(w))

@@ -73,7 +73,8 @@ def normalize_documents(docs: DataFrame, symspell: SymSpell | None) -> DataFrame
     """Phase 1: derive raw_address from spans, canonicalize, parse,
     correct spellings, phonetic-encode. Adds span_fp for the
     span-sequence invariant check."""
-    d = docs
+    from .session import spread_for_udf
+    d = spread_for_udf(docs)
     for col in ("raw_uprn", "easting", "northing", "group_key"):
         if col not in d.columns:
             d = d.withColumn(col, F.lit(None).cast(

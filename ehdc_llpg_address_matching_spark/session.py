@@ -18,6 +18,25 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def spread_for_udf(df):
+    """Round-robin repartition an UNDER-PARTITIONED input up to the
+    session's default parallelism before an embarrassingly-parallel
+    pandas-UDF stage. Small single-file parquet inputs scan as ONE
+    partition (maxPartitionBytes >> file size), which serializes every
+    Python UDF stage onto a single worker — round-6 measured the
+    minhash signature UDF and the document-normalization chain running
+    1-task on local[32]. At real scale inputs arrive in many partitions
+    and this is a no-op: the guard is the partition count vs the
+    cluster's core count, not a local constant, so the extra shuffle
+    (narrow rows, paid only when the input is smaller than the
+    cluster) is scale-adaptive rather than local tuning."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def get_spark(
     app_name: str = "address-linkage",
     master: str | None = None,
@@ -31,6 +50,14 @@ def get_spark(
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                 "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # the daemon_preload module must be importable by the worker
+    # python (launched with `python -m`): put the package root on
+    # PYTHONPATH before the first JVM launch so resolution never
+    # depends on the driver's working directory
+    _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (_pp + os.pathsep + _root) if _pp else _root
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     b = (
@@ -42,6 +69,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # fork Python workers from a daemon that has numpy/pandas/
+        # pyarrow already imported (copy-on-write inheritance) — see
+        # daemon_preload; without it the first UDF stage of a session
+        # pays one scientific-stack import PER WORKER, concurrently
+        .config("spark.python.daemon.module",
+                "ehdc_llpg_address_matching_spark.daemon_preload")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
