@@ -444,13 +444,17 @@ def cand_rule_rewrite(uaddr: DataFrame, gazp: DataFrame,
         F.split("rw", " "),
         lambda t: (F.length(t) >= 2) & ~t.isin(*STOP_TOKENS)))
     hot = gaz_hot_tokens(gazp, token_df_cap)
-    rw_tok = (rw.withColumn("tok", F.explode(toks))
+    # ids-only through the token join and the shared-token count: rule /
+    # base_conf / rw are FUNCTIONS of addr_id (first-matching-rule), so
+    # carrying them through the explode+join+groupBy only widened the
+    # shuffles — they re-attach with the gram join below
+    rw_tok = (rw.select("addr_id", F.explode(toks).alias("tok"))
               .join(F.broadcast(hot), "tok", "left_anti"))
     g_tok = (gazp.select("uprn", F.col("addr_core").alias("g_core"),
                          F.explode(F.array_distinct("tokens")).alias("tok"))
              .join(F.broadcast(hot), "tok", "left_anti"))
     cand = (rw_tok.join(g_tok, "tok")
-            .groupBy("addr_id", "rule", "base_conf", "rw", "uprn", "g_core")
+            .groupBy("addr_id", "uprn", "g_core")
             .agg(F.count("*").alias("_n_common"))
             .filter(F.col("_n_common") >= 2))
 
@@ -470,7 +474,7 @@ def cand_rule_rewrite(uaddr: DataFrame, gazp: DataFrame,
     # `rw` — first-matching-rule) and per DISTINCT gazetteer core
     # string; both frames are small next to the pair set, and at scale
     # the re-attach is the standard decide-small/attach-once shape.
-    rw_grams = rw.select("addr_id",
+    rw_grams = rw.select("addr_id", "rule", "base_conf",
                          trigram_grams_expr(F.col("rw")).alias("_rwg"))
     g_grams = (gazp.select(F.col("addr_core").alias("g_core")).distinct()
                .select("g_core",
@@ -554,21 +558,23 @@ def cand_hierarchical(uaddr: DataFrame, gazp: DataFrame,
     lvl_rank = F.when(F.col("level_name") == "postcode_house", 1) \
         .otherwise(2)
     w_min = Window.partitionBy("addr_id")
-    # EAGER CHECKPOINT each level frame that is referenced more than
-    # once below. Without it Spark re-plans and RE-EXECUTES the whole
-    # upstream join tree per reference: upper12 feeds the final union
-    # AND resid3 AND (via resid3/resid4/resid5) every lower level, so
-    # its join+window subtree executed ~8 times (doubling per level) —
-    # round-6 measured 27.6 s for this generator at the 20K-doc bench
-    # corpus, dominated by exactly this re-execution. The checkpointed
-    # frames are small (candidate ids + level confidence), so this is
-    # the same phase-boundary materialization the pipeline already
-    # applies to the candidate union, not a payload write.
+    # CACHE each level frame that is referenced more than once below.
+    # Without it Spark re-plans and RE-EXECUTES the whole upstream join
+    # tree per reference: upper12 feeds the final union AND resid3 AND
+    # (via resid3/resid4/resid5) every lower level, so its join+window
+    # subtree executed ~8 times (doubling per level) — round-6 measured
+    # 27.6 s for this generator at the 20K-doc bench corpus, dominated
+    # by exactly this re-execution. cache() (not an eager
+    # localCheckpoint) keeps the materialization LAZY, so the level
+    # frames compute inside the downstream candidate-union job with
+    # full cluster parallelism instead of as serial driver-side jobs
+    # at construction time (eager checkpoints here measured 8 s of
+    # serialized wall per pipeline run). The cached frames are small
+    # (candidate ids + level confidence).
     upper12 = (upper12.withColumn("_lr", lvl_rank)
                .withColumn("_best", F.min("_lr").over(w_min))
                .filter(F.col("_lr") == F.col("_best"))
-               .drop("_lr", "_best")) \
-        .localCheckpoint(eager=True)
+               .drop("_lr", "_best")).cache()
 
     # level 3 (street+locality — the WIDEST selective key) only for the
     # residue levels 1-2 missed: the min-level window used to discard
@@ -580,7 +586,7 @@ def cand_hierarchical(uaddr: DataFrame, gazp: DataFrame,
     l3 = lvl(resid3.filter((F.col("d_st") != "") & (F.col("d_loc") != ""))
              .join(g, (F.col("d_st") == F.col("g_st")) &
                    (F.col("d_loc") == F.col("g_loc"))), "street_locality") \
-        .localCheckpoint(eager=True)  # referenced by union AND resid4
+        .cache()  # referenced by union AND resid4
     upper = upper12.unionByName(l3)
 
     # levels 4-5 only for the residue (anti-join): phonetic street,
@@ -590,7 +596,7 @@ def cand_hierarchical(uaddr: DataFrame, gazp: DataFrame,
     l4 = lvl(resid4.filter(F.col("d_phon") != "")
              .join(g.filter(F.col("g_phon") != ""),
                    F.col("d_phon") == F.col("g_phon")), "street_phonetic") \
-        .localCheckpoint(eager=True)  # referenced by union AND resid5
+        .cache()  # referenced by union AND resid5
     resid5 = resid4.join(l4.select("addr_id").distinct(), "addr_id",
                          "left_anti")
     l5 = lvl(resid5.filter(F.col("d_loc") != "")

@@ -208,10 +208,18 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
             review=min(thresholds.review, medium),
             minimum=min(thresholds.minimum, tau),
             winner_margin=thresholds.winner_margin)
-    decided_narrow = D.decide(best, thresholds, top_k=cfg.top_k_audit)
-    decided = S.with_audit_levenshtein(decided_narrow) \
+    decided_narrow = D.decide(best, thresholds, top_k=cfg.top_k_audit) \
         .localCheckpoint(eager=True)
-    acc = D.accepted(decided)
+    # audit-only Levenshtein (F3) stays LAZY, layered over the
+    # checkpointed decision table: the matches path never reads `lev`,
+    # and computing the batch DP eagerly inside the checkpoint cost ~5 s
+    # per run at the bench corpus (round-6 noop profile) for a column
+    # only the audit consumers materialize. Consumers of
+    # audit_candidates get identical values — the DP now just runs when
+    # the audit frame is actually used (guide §1.2: don't compute what
+    # the action doesn't need).
+    decided = S.with_audit_levenshtein(decided_narrow)
+    acc = D.accepted(decided_narrow)
 
     # --- phase: fan-out to documents + legacy-UPRN overrides
     addr_match = acc.select("addr_id", "uprn", "score", "confidence",
@@ -302,7 +310,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
               .select("doc_id", "spans", "span_fp", "raw_address",
                       "addr_can", "postcode", "group_key")
               .join(matches, "doc_id", "left"))
-    metrics = (decided.groupBy("decision")
+    metrics = (decided_narrow.groupBy("decision")
                .agg(F.count("*").alias("n"),
                     F.avg("score").alias("avg_score")))
     out_extra = {}
