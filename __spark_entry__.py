@@ -1719,6 +1719,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # FIRST in dict order: the three entries the round-5 driver
+        # sweep never reached (its wall budget ran out at 50 of 53 in
+        # dict order — CORRECTNESS_r05 has no row for them). Running
+        # them first guarantees the vector-engine parity and media
+        # metadata get driver-verified rows even under a tight sweep
+        # budget; all other entries are unchanged and much faster this
+        # round, so the full 53 should fit regardless.
+        "j9_vector_engine": q_j9_vector_engine,
+        "linkage_vector": q_linkage_vector,
+        "media_metadata": q_media_metadata,
         "a1_run_stats": q_a1_run_stats,
         "a2_band_histogram": q_a2_band_histogram,
         "d6_topk_per_group": q_d6_topk_per_group,
@@ -1773,9 +1783,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_pairs": q_lsh_bucket_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
         "connected_components": q_connected_components,
-        "j9_vector_engine": q_j9_vector_engine,
-        "linkage_vector": q_linkage_vector,
-        "media_metadata": q_media_metadata,
     }
 
 

@@ -197,6 +197,10 @@ def _hyperplane_bucket_udf(spark, n_planes: int, n_tables: int, dim: int,
     @pandas_udf(ArrayType(LongType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
         P = b_planes.value
+        if len(vecs) == 0:
+            # empty Arrow batch: np.array([]) would be 1-D and break
+            # the (n, dim) GEMM below (round-5 advice)
+            return pd.Series([], dtype=object)
         V = np.array(vecs.to_list(), dtype=np.float32)  # (n, dim)
         out = []
         # (tables, n, planes) sign bits -> packed ints

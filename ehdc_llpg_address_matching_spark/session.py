@@ -30,6 +30,10 @@ def spread_for_udf(df):
     cluster's core count, not a local constant, so the extra shuffle
     (narrow rows, paid only when the input is smaller than the
     cluster) is scale-adaptive rather than local tuning."""
+    if df.isStreaming:
+        # no .rdd on streaming frames; micro-batch parallelism is the
+        # source's concern (maxFilesPerTrigger etc.), not a repartition
+        return df
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     if df.rdd.getNumPartitions() < p:

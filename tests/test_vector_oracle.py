@@ -183,3 +183,52 @@ def test_lsh_ann_topk_oracle_headroom():
         srt = np.sort(cos)[::-1]
         assert float(srt[2] - srt[3]) > 50 * max(envelope, 1e-9), (
             f"query {q}: lsh top-3 boundary gap {float(srt[2]-srt[3])}")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_SF001),
+                    reason="driver compare corpus not present")
+def test_lsh_bucket_pairs_cosine_gate_headroom():
+    """q_lsh_bucket_pairs gates bucket-collision pairs on cosine >=
+    0.2; the engine computes cosines in f32, the DuckDB oracle in f64.
+    The compare is hash-safe iff NO collision pair's f64 cosine sits
+    within the cross-impl envelope of the 0.2 boundary. Round-5 advice:
+    this headroom was only asserted in docstrings — a testdata
+    regeneration landing a pair with |cosine - 0.2| inside the envelope
+    would flake the driver compare with no earlier failure. Asserted at
+    50x the measured envelope, mirroring the ann_topk gates above."""
+    from ehdc_llpg_address_matching_spark.operators.ann import lsh_planes
+
+    emb = pd.read_parquet(_SF001).sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    V32 = np.array(emb["embedding"].tolist(), dtype=np.float32)
+    V32 = V32 / np.maximum(np.linalg.norm(V32, axis=1, keepdims=True), 1e-12)
+    V64 = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    V64 = V64 / np.maximum(np.linalg.norm(V64, axis=1, keepdims=True), 1e-12)
+
+    P = lsh_planes(12, 4, 64, 7)
+    buckets = [((V64 @ P[t].T > 0).astype(np.int64)
+                << np.arange(12)).sum(axis=1) for t in range(4)]
+    # all distinct bucket-collision pairs (i < j) across the 4 tables
+    pairs = set()
+    for b in buckets:
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        start = 0
+        for k in range(1, len(bs) + 1):
+            if k == len(bs) or bs[k] != bs[start]:
+                grp = order[start:k]
+                for x in range(len(grp)):
+                    for y in range(x + 1, len(grp)):
+                        i, j = grp[x], grp[y]
+                        pairs.add((min(i, j), max(i, j)))
+                start = k
+    assert pairs, "fixture produced no bucket collisions"
+    ii = np.array([p[0] for p in pairs])
+    jj = np.array([p[1] for p in pairs])
+    cos64 = (V64[ii] * V64[jj]).sum(axis=1)
+    cos32 = (V32[ii] * V32[jj]).sum(axis=1).astype(np.float64)
+    envelope = float(np.abs(cos64 - cos32).max())
+    boundary = float(np.abs(cos64 - 0.2).min())
+    assert boundary > 50 * max(envelope, 1e-9), (
+        f"collision-pair cosine within {boundary} of the 0.2 gate "
+        f"(envelope {envelope}) — driver hash compare would be flaky")

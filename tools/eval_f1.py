@@ -118,6 +118,12 @@ def main():
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines[:12]))
     print(f"... wrote /root/repo/EVAL.md; sectors<0.99: {n_below}")
+    if worst < 0.99:
+        # the claimed gate must FAIL the run, not just print (round-5
+        # advice: a regression would otherwise ship a passing-looking
+        # report)
+        raise SystemExit(
+            f"seed-robustness gate FAILED: worst seed F1 {worst:.4f} < 0.99")
 
 
 if __name__ == "__main__":
