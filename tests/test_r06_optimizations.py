@@ -1,0 +1,159 @@
+"""Focused tests for the round-6 optimization changes: each one pins
+the behavior an optimization altered internally (CC convergence
+detection, per-side gram re-attach, the tightened simhash gate, the
+UDF input spreader)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- CC
+
+def test_cc_star_input_zero_rounds_output(spark):
+    """An already-star-shaped input (the customer->orders /
+    doc->uprn case) must label correctly through the zero-round
+    fast path: component = the min-side parent."""
+    from ehdc_llpg_address_matching_spark.operators.cluster import \
+        connected_components
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("x", "y")], "src string, dst string")
+    got = {(r["node"], r["component"])
+           for r in connected_components(edges).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"),
+                   ("x", "x"), ("y", "x")}
+
+
+def test_cc_multi_parent_and_chain_still_converge(spark):
+    """Graphs that are NOT disjoint stars (shared child, chains,
+    cycles, reversed src/dst) must run star rounds and converge to the
+    min-label component — the fixpoint test must not fire early."""
+    from ehdc_llpg_address_matching_spark.operators.cluster import \
+        connected_components
+    edges = spark.createDataFrame(
+        [("5", "1"), ("3", "5"),            # shared child, reversed
+         ("7", "8"), ("8", "9"), ("9", "7"),  # cycle
+         ("p", "q"), ("q", "r"), ("r", "s")],  # chain
+        "src string, dst string")
+    got = {(r["node"], r["component"])
+           for r in connected_components(edges).collect()}
+    assert got == {("1", "1"), ("5", "1"), ("3", "1"),
+                   ("7", "7"), ("8", "7"), ("9", "7"),
+                   ("p", "p"), ("q", "p"), ("r", "p"), ("s", "p")}
+
+
+def test_cc_duplicate_and_self_edges(spark):
+    """The round-6 path drops the upfront distinct — duplicate and
+    self edges must still label correctly."""
+    from ehdc_llpg_address_matching_spark.operators.cluster import \
+        connected_components
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("c", "c")],
+        "src string, dst string")
+    got = {(r["node"], r["component"])
+           for r in connected_components(edges).collect()}
+    assert got == {("a", "a"), ("b", "a")}
+
+
+# ------------------------------------------- per-side gram re-attach
+
+def test_rule_rewrite_sim_matches_python_kernel(spark):
+    """cand_rule_rewrite now joins per-side gram arrays instead of
+    computing trigram_grams_expr per pair; the similarity values (and
+    therefore method_conf adjustment + top-k order) must stay
+    bit-identical to the Python trigram kernel."""
+    from ehdc_llpg_address_matching_spark.functions.similarity import \
+        trigram_sim_batch
+    from ehdc_llpg_address_matching_spark.operators.blocking import \
+        with_blocking_keys
+    from ehdc_llpg_address_matching_spark.operators.candidates import (
+        cand_rule_rewrite, prepare_gazetteer)
+
+    gaz = spark.createDataFrame(
+        [("100", "LUCKYLITE FARM CATHERINGTON LANE HORNDEAN GU31 4AA"),
+         ("101", "LASHAM AERODROME LASHAM ALTON GU34 5SS"),
+         ("102", "COOPERATIVE STORE HIGH STREET ALTON GU34 1AA")],
+        "uprn string, full_address string")
+    gazp = prepare_gazetteer(gaz)
+    uaddr = spark.createDataFrame(
+        [("d1", "LUCKY LITE FARM HORNDEAN"),
+         ("d2", "LASHAM AIRFIELD HANGAR 2"),
+         ("d3", "CO-OP HIGH STREET ALTON")],
+        "addr_id string, addr_can string")
+    out = cand_rule_rewrite(
+        uaddr.withColumn("addr_core", F.col("addr_can")),
+        gazp, keep_sim=True).toPandas()
+    assert len(out) > 0
+    # replay each pair's sim with the Python kernel over the SAME
+    # rewritten string the generator derives
+    from ehdc_llpg_address_matching_spark.operators.candidates import \
+        REWRITE_RULES
+    import re
+    gmap = {r["uprn"]: r["addr_core"] for r in gazp.collect()}
+
+    def rewrite(addr):
+        for name, pat, rep, conf in REWRITE_RULES:
+            if re.search(pat, addr):
+                if rep is None:
+                    rw = re.sub(r"\bN\b", "NORTH", addr)
+                    rw = re.sub(r"\bS\b", "SOUTH", rw)
+                    rw = re.sub(r"\bE\b", "EAST", rw)
+                    rw = re.sub(r"\bW\b", "WEST", rw)
+                else:
+                    rw = re.sub(pat, rep.replace("$1", r"\1"), addr)
+                return re.sub(r"\s+", " ", rw).strip()
+        return addr
+
+    amap = {"d1": "LUCKY LITE FARM HORNDEAN",
+            "d2": "LASHAM AIRFIELD HANGAR 2",
+            "d3": "CO-OP HIGH STREET ALTON"}
+    for _, row in out.iterrows():
+        rw = rewrite(amap[row["addr_id"]])
+        expect = trigram_sim_batch(pd.Series([rw]),
+                                   pd.Series([gmap[row["uprn"]]]))[0]
+        assert abs(row["sim"] - expect) < 1e-12
+
+
+# ------------------------------------------------ simhash gate parity
+
+def test_simhash_supplemented_gate_keeps_exact_output(spark):
+    """Tightening the supplemented prefilter (hamming 8 -> 5) must not
+    change the entry's exact-verified output: with the 32x2-band LSH
+    supplement ORed in, the gate-5 and gate-15 runs produce the same
+    verified pair set on a corpus with planted near-dups."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for i in range(120):
+        toks = [vocab[rng.randint(300)] for _ in range(40)]
+        docs.append((i, " ".join(toks)))
+        if i % 3 == 0:  # planted near-dup: small edit
+            toks2 = list(toks)
+            toks2[5] = vocab[rng.randint(300)]
+            docs.append((1000 + i, " ".join(toks2)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from ehdc_llpg_address_matching_spark.operators.dedup import \
+        simhash_near_dup
+    tight = {(r["id_a"], r["id_b"])
+             for r in simhash_near_dup(df, jaccard_threshold=0.5,
+                                       prefilter_hamming=5).collect()}
+    loose = {(r["id_a"], r["id_b"])
+             for r in simhash_near_dup(df, jaccard_threshold=0.5,
+                                       prefilter_hamming=15).collect()}
+    assert tight == loose
+    assert len(tight) >= 30  # the planted pairs actually surfaced
+
+
+# ------------------------------------------------------ spread_for_udf
+
+def test_spread_for_udf_spreads_and_noops(spark):
+    from ehdc_llpg_address_matching_spark.session import spread_for_udf
+    small = spark.createDataFrame([(i,) for i in range(100)],
+                                  "x long").coalesce(1)
+    p = spark.sparkContext.defaultParallelism
+    spread = spread_for_udf(small)
+    assert spread.rdd.getNumPartitions() == p
+    assert spread.count() == 100
+    wide = spark.range(1000).repartition(p + 4)
+    assert spread_for_udf(wide).rdd.getNumPartitions() == p + 4
