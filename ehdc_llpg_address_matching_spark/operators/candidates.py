@@ -77,7 +77,12 @@ def prepare_gazetteer(gaz: DataFrame) -> DataFrame:
     g = with_street_phonetic(g, street_col="c_street")
     g = expand_ranges(g)
     g = with_blocking_keys(g)
-    return g
+    # compact the reference frame before callers cache it: the spread +
+    # expansion union leaves a small gazetteer as dozens of near-empty
+    # partitions that every downstream broadcast build re-scans
+    # (session.compact_reference_frame — size-derived, no-op at scale)
+    from ..session import compact_reference_frame
+    return compact_reference_frame(g)
 
 
 def prepare_unique_addresses(docs_norm: DataFrame) -> DataFrame:
@@ -510,13 +515,31 @@ def cand_hierarchical(uaddr: DataFrame, gazp: DataFrame,
                       top_k: int = 5) -> DataFrame:
     """J5: 5-level component cascade with stop-at-first-hit semantics.
 
-    Levels 1-3 are selective equi-joins computed for every address; the
-    min matched level wins per address (window). Levels 4-5 (phonetic
-    street / locality-only) are HOT joins — computed only for the
-    anti-joined residue that levels 1-3 missed, so the locality
-    fan-out never touches already-matched addresses (the Spark analog
-    of the reference's sequential "only unmatched docs reach lower
-    levels" loop, and the reason this holds at 10^12 docs).
+    Two passes (round-6 restructure):
+
+    1. PROBE: one LEFT SEMI join per level over the full address set —
+       "does this address have ANY hit at level k". Semi joins never
+       fan out (output <= |d| rows of just addr_id), so probing the
+       hot levels 4-5 for every address is safe at any scale, unlike
+       their full joins. One tiny groupBy then yields each address's
+       winning (minimum) level.
+    2. FETCH: each level's full join runs ONLY for the addresses whose
+       winning level it is — exactly the rows stop-at-first keeps, and
+       a subset of what the previous residue-anti-join chain joined
+       (its l4 join ran for every level-1-3 miss, including addresses
+       whose l4 rows a later step discarded).
+
+    Output is identical to the sequential residue formulation: per
+    address the same winning level and the same hit set. The win is
+    plan shape: the residue chain serialized ~10 dependent stage
+    materializations (each level's anti-join waited on the previous
+    level's distinct), where the probe pass runs all five semi joins
+    CONCURRENTLY and the fetch pass all five full joins concurrently —
+    critical path ~5 stages instead of ~10, and only one small frame
+    (ids + winning level) is cached instead of three level frames.
+    cache(), not an eager localCheckpoint, for the same reason as
+    before: lazy, so the probe subtree executes once inside the
+    downstream candidate-union job at full parallelism.
 
     Returns (addr_id, uprn, method='hier_<level>', method_conf=base).
     """
@@ -536,74 +559,62 @@ def cand_hierarchical(uaddr: DataFrame, gazp: DataFrame,
                     F.col("c_locality").alias("g_loc"),
                     F.col("street_phonetic").alias("g_phon"))
 
+    # (rank, name, d-side filter, g-side filter, join condition) — the
+    # SAME filters/conditions drive both the semi probe and the fetch,
+    # so the two passes cannot disagree.
+    levels = [
+        (1, "postcode_house",
+         (F.col("d_pc") != "") & (F.col("d_h") != ""),
+         (F.col("g_pc") != "") & (F.col("g_h") != ""),
+         (F.col("d_pc") == F.col("g_pc")) & (F.col("d_h") == F.col("g_h"))),
+        (2, "street_house_locality",
+         (F.col("d_st") != "") & (F.col("d_h") != ""),
+         (F.col("g_st") != "") & (F.col("g_h") != ""),
+         (F.col("d_st") == F.col("g_st")) & (F.col("d_h") == F.col("g_h"))
+         & ((F.col("d_loc") == "") | (F.col("g_loc") == "") |
+            (F.col("d_loc") == F.col("g_loc")))),
+        (3, "street_locality",
+         (F.col("d_st") != "") & (F.col("d_loc") != ""),
+         F.lit(True),
+         (F.col("d_st") == F.col("g_st")) &
+         (F.col("d_loc") == F.col("g_loc"))),
+        (4, "street_phonetic",
+         F.col("d_phon") != "",
+         F.col("g_phon") != "",
+         F.col("d_phon") == F.col("g_phon")),
+        (5, "locality_only",
+         F.col("d_loc") != "",
+         F.col("g_loc") != "",
+         F.col("d_loc") == F.col("g_loc")),
+    ]
+
+    probes = [
+        d.filter(df_).join(g.filter(gf), cond, "left_semi")
+         .select("addr_id", F.lit(rank).alias("_lvl"))
+        for rank, _, df_, gf, cond in levels
+    ]
+    allp = probes[0]
+    for p in probes[1:]:
+        allp = allp.unionByName(p)
+    winners = allp.groupBy("addr_id").agg(F.min("_lvl").alias("_lvl"))
+    # addresses with no hit at any level drop out here (inner join),
+    # exactly as they produced no rows before
+    d_ann = d.join(winners, "addr_id").cache()
+
     def lvl(df, name):
         return df.select("addr_id", "uprn",
                          F.lit(name).alias("level_name"),
                          F.lit(HIER_BASE[name]).alias("method_conf"))
 
-    l1 = lvl(d.filter((F.col("d_pc") != "") & (F.col("d_h") != ""))
-             .join(g.filter((F.col("g_pc") != "") & (F.col("g_h") != "")),
-                   (F.col("d_pc") == F.col("g_pc")) &
-                   (F.col("d_h") == F.col("g_h"))), "postcode_house")
-    l2 = lvl(d.filter((F.col("d_st") != "") & (F.col("d_h") != ""))
-             .join(g.filter((F.col("g_st") != "") & (F.col("g_h") != "")),
-                   (F.col("d_st") == F.col("g_st")) &
-                   (F.col("d_h") == F.col("g_h")))
-             .filter((F.col("d_loc") == "") | (F.col("g_loc") == "") |
-                     (F.col("d_loc") == F.col("g_loc"))),
-             "street_house_locality")
-    upper12 = l1.unionByName(l2)
+    parts = [
+        lvl(d_ann.filter((F.col("_lvl") == rank) & df_)
+            .join(g.filter(gf), cond), name)
+        for rank, name, df_, gf, cond in levels
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
 
-    # stop-at-first among the two house-keyed levels
-    lvl_rank = F.when(F.col("level_name") == "postcode_house", 1) \
-        .otherwise(2)
-    w_min = Window.partitionBy("addr_id")
-    # CACHE each level frame that is referenced more than once below.
-    # Without it Spark re-plans and RE-EXECUTES the whole upstream join
-    # tree per reference: upper12 feeds the final union AND resid3 AND
-    # (via resid3/resid4/resid5) every lower level, so its join+window
-    # subtree executed ~8 times (doubling per level) — round-6 measured
-    # 27.6 s for this generator at the 20K-doc bench corpus, dominated
-    # by exactly this re-execution. cache() (not an eager
-    # localCheckpoint) keeps the materialization LAZY, so the level
-    # frames compute inside the downstream candidate-union job with
-    # full cluster parallelism instead of as serial driver-side jobs
-    # at construction time (eager checkpoints here measured 8 s of
-    # serialized wall per pipeline run). The cached frames are small
-    # (candidate ids + level confidence).
-    upper12 = (upper12.withColumn("_lr", lvl_rank)
-               .withColumn("_best", F.min("_lr").over(w_min))
-               .filter(F.col("_lr") == F.col("_best"))
-               .drop("_lr", "_best")).cache()
-
-    # level 3 (street+locality — the WIDEST selective key) only for the
-    # residue levels 1-2 missed: the min-level window used to discard
-    # every l3 row for an l1/l2-matched address anyway, but at 100x a
-    # big street x locality block pays join volume the window then
-    # throws away — anti-join first, exactly like l4/l5 below
-    resid3 = d.join(upper12.select("addr_id").distinct(), "addr_id",
-                    "left_anti")
-    l3 = lvl(resid3.filter((F.col("d_st") != "") & (F.col("d_loc") != ""))
-             .join(g, (F.col("d_st") == F.col("g_st")) &
-                   (F.col("d_loc") == F.col("g_loc"))), "street_locality") \
-        .cache()  # referenced by union AND resid4
-    upper = upper12.unionByName(l3)
-
-    # levels 4-5 only for the residue (anti-join): phonetic street,
-    # then locality-only for what phonetic also missed
-    resid4 = resid3.join(l3.select("addr_id").distinct(), "addr_id",
-                         "left_anti")
-    l4 = lvl(resid4.filter(F.col("d_phon") != "")
-             .join(g.filter(F.col("g_phon") != ""),
-                   F.col("d_phon") == F.col("g_phon")), "street_phonetic") \
-        .cache()  # referenced by union AND resid5
-    resid5 = resid4.join(l4.select("addr_id").distinct(), "addr_id",
-                         "left_anti")
-    l5 = lvl(resid5.filter(F.col("d_loc") != "")
-             .join(g.filter(F.col("g_loc") != ""),
-                   F.col("d_loc") == F.col("g_loc")), "locality_only")
-
-    allc = upper.unionByName(l4).unionByName(l5)
     w_k = Window.partitionBy("addr_id").orderBy(F.asc("uprn"))
     return (allc.dropDuplicates(["addr_id", "uprn"])
             .withColumn("_rn", F.row_number().over(w_k))

@@ -157,3 +157,41 @@ def test_spread_for_udf_spreads_and_noops(spark):
     assert spread.count() == 100
     wide = spark.range(1000).repartition(p + 4)
     assert spread_for_udf(wide).rdd.getNumPartitions() == p + 4
+
+
+# ------------------------------------- J5 probe/fetch level resolution
+
+def test_hierarchical_probe_fetch_mid_levels(spark):
+    """The round-6 cascade restructure resolves each address's
+    stop-at-first level with semi-join probes before fetching. Guard
+    the mid-level selection the older tests don't reach: an address
+    hitting levels 3 AND 5 must surface ONLY level-3 rows, and a
+    phonetic-only typo must land on level 4."""
+    from ehdc_llpg_address_matching_spark.operators import candidates as C
+    from tests.test_candidates_extra import _gaz, _uaddr
+
+    gaz = _gaz(spark, [
+        "5 MILL LANE, LIPHOOK, GU30 7AA",
+        "OAK BARN, LIPHOOK, GU30 7AB",
+    ])
+    ua = _uaddr(spark, [
+        # street+locality match (level 3: no postcode, no house number
+        # on the gaz street? house differs -> l1/l2 miss) AND a
+        # locality-only match vs the second gaz row (level 5)
+        "MILL LANE, LIPHOOK",
+        # phonetic street: MILL -> MYLL keeps the metaphone skeleton
+        # but breaks exact street equality; house differs so l2 misses
+        "MYLL LANE, LIPHOOK",
+    ])
+    out = C.cand_hierarchical(ua, gaz).toPandas()
+    ids = ua.select("addr_id", "addr_can").toPandas()
+    m = out.merge(ids, on="addr_id")
+    exact = m[m.addr_can.str.startswith("MILL")]
+    assert set(exact.method) == {"hier_street_locality"}
+    assert (exact.method_conf == 0.80).all()
+    # stop-at-first: the level-5 locality hit vs OAK BARN must NOT
+    # appear for the level-3 address
+    assert len(exact) == 1
+    phon = m[m.addr_can.str.startswith("MYLL")]
+    assert set(phon.method) == {"hier_street_phonetic"}
+    assert (phon.method_conf == 0.75).all()
