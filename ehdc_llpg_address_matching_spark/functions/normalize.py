@@ -363,3 +363,120 @@ def with_components(df, raw_col: str = "raw_address"):
             .withColumn("parse_confidence", F.col("_p.parse_confidence").cast("double"))
             .withColumn("parse_valid", F.col("_p.parse_valid") == "True")
             .drop("_p"))
+
+
+def _normalize_all_frame(raw: pd.Series, raw_uprn: pd.Series | None,
+                         symspell=None) -> pd.DataFrame:
+    """Pandas body of the fused normalization UDF (with_normalized):
+    canonicalize + component parse (+ optional UPRN clean + SymSpell
+    correction) + street phonetic in ONE pass over the batch. The
+    literal composition of canonicalize_series / parse_components_series
+    / clean_uprn_series / SymSpell.correct_tokens_series /
+    phonetic_series — unit tests pin bit-equality against the unfused
+    chain."""
+    from .phonetic import phonetic_series
+    c = canonicalize_series(raw)
+    p = parse_components_series(raw)
+    street = p["street"]
+    if symspell is not None:
+        core_corr = symspell.correct_tokens_series(
+            c["addr_core"], skip=STREET_SUFFIX_WORDS)
+        street_corr = symspell.correct_tokens_series(
+            street, skip=STREET_SUFFIX_WORDS)
+    else:
+        core_corr, street_corr = c["addr_core"], street
+    first = street_corr.fillna("").str.split().str[0].fillna("")
+    out = pd.DataFrame({
+        "addr_can": c["addr_can"], "postcode": c["postcode"],
+        "addr_core_pre": c["addr_core"], "addr_core_corr": core_corr,
+        "c_house": p["house_number"], "c_street": street_corr,
+        "c_locality": p["locality"], "c_name": p["name"],
+        "c_postcode": p["postcode"],
+        "parse_confidence": p["parse_confidence"].astype(float),
+        "parse_valid": p["parse_valid"].astype(bool),
+        "street_phonetic": phonetic_series(first),
+    })
+    if raw_uprn is not None:
+        out["uprn_clean"] = clean_uprn_series(raw_uprn)
+    return out
+
+
+def with_normalized(df, raw_col: str = "raw_address",
+                    uprn_col: str | None = None, symspell=None):
+    """Fused N1+N2+N9(+N11+N12) normalization: ONE ArrowEvalPython node
+    where the unfused chain (with_canonical -> with_components ->
+    [_clean_uprn] -> [symspell _correct x2] -> with_street_phonetic)
+    paid up to three Python eval nodes and round-tripped the
+    intermediate strings JVM->Python->JVM->Python (optimization guide
+    §4.1/§4.2: cross the boundary once, ship only the columns the
+    kernel needs — here just raw_col [+ uprn_col]).
+
+    Column-for-column identical to the unfused chain: the JVM-expression
+    columns (tokens, house_numbers, is_vague) are the same Catalyst
+    expressions over the same pre-correction strings, and the pandas
+    body is the literal composition of the unfused series kernels
+    (pinned by tests/test_r06_optimizations.py)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType, DoubleType
+
+    fields = [
+        StructField("addr_can", StringType()),
+        StructField("postcode", StringType()),
+        StructField("addr_core_pre", StringType()),
+        StructField("addr_core_corr", StringType()),
+        StructField("c_house", StringType()),
+        StructField("c_street", StringType()),
+        StructField("c_locality", StringType()),
+        StructField("c_name", StringType()),
+        StructField("c_postcode", StringType()),
+        StructField("parse_confidence", DoubleType()),
+        StructField("parse_valid", BooleanType()),
+        StructField("street_phonetic", StringType()),
+    ]
+    if uprn_col:
+        fields.append(StructField("uprn_clean", StringType()))
+    schema = StructType(fields)
+    b = (df.sparkSession.sparkContext.broadcast(symspell)
+         if symspell is not None else None)
+
+    if uprn_col:
+        @pandas_udf(schema)
+        def _norm(raw: pd.Series, uprn: pd.Series) -> pd.DataFrame:
+            return _normalize_all_frame(
+                raw, uprn, b.value if b is not None else None)
+        ncol = _norm(F.col(raw_col), F.col(uprn_col))
+    else:
+        @pandas_udf(schema)
+        def _norm(raw: pd.Series) -> pd.DataFrame:
+            return _normalize_all_frame(
+                raw, None, b.value if b is not None else None)
+        ncol = _norm(F.col(raw_col))
+
+    d = df.withColumn("_n", ncol)
+    d = d.select("*", "_n.addr_can", "_n.postcode",
+                 F.col("_n.addr_core_pre").alias("addr_core"))
+    # same Catalyst expressions as with_canonical, over the same
+    # pre-correction core string
+    d = d.withColumn(
+        "tokens",
+        F.filter(
+            F.split(F.col("addr_core"), " "),
+            lambda t: (F.length(t) >= 2) & ~t.isin(*STOP_TOKENS)))
+    d = d.withColumn(
+        "house_numbers",
+        F.expr(r"regexp_extract_all(addr_core, '\\b(\\d+[A-Z]?)\\b', 1)"))
+    d = d.withColumn("is_vague", F.col("addr_can").rlike(DESCRIPTOR_RE))
+    d = (d.withColumn("c_house", F.col("_n.c_house"))
+          .withColumn("c_street", F.col("_n.c_street"))
+          .withColumn("c_locality", F.col("_n.c_locality"))
+          .withColumn("c_name", F.col("_n.c_name"))
+          .withColumn("c_postcode", F.col("_n.c_postcode"))
+          .withColumn("parse_confidence", F.col("_n.parse_confidence"))
+          .withColumn("parse_valid", F.col("_n.parse_valid")))
+    if uprn_col:
+        d = d.withColumn("uprn_clean", F.col("_n.uprn_clean"))
+    # corrected core replaces the pre-correction string IN PLACE (same
+    # column position as the unfused chain's in-place correction)
+    d = (d.withColumn("addr_core", F.col("_n.addr_core_corr"))
+          .withColumn("street_phonetic", F.col("_n.street_phonetic")))
+    return d.drop("_n")

@@ -23,9 +23,7 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.normalize import (norm_house_expr, with_canonical,
-                                   with_components)
-from ..functions.phonetic import with_street_phonetic
+from ..functions.normalize import norm_house_expr
 from .blocking import explode_keys, salt_hot_keys, with_blocking_keys
 
 # reference guard, internal/llpg/range_expander.go:174: reject when
@@ -70,11 +68,21 @@ def prepare_gazetteer(gaz: DataFrame) -> DataFrame:
     drop = [c for c in ("postcode", "house_number", "street", "locality",
                         "tokens", "house_numbers")
             if c in gaz.columns]
+    from ..functions.normalize import with_normalized
     from ..session import spread_for_udf
-    g = with_canonical(spread_for_udf(gaz.drop(*drop)),
-                       raw_col="full_address")
-    g = with_components(g, raw_col="full_address")
-    g = with_street_phonetic(g, street_col="c_street")
+    g = with_normalized(spread_for_udf(gaz.drop(*drop)),
+                        raw_col="full_address")
+    # materialize the normalized frame ONCE before the range-expansion
+    # union: both union branches (original ∪ expanded) reference it, and
+    # without a materialization Spark re-executes the whole UDF chain
+    # per branch — the round-6 stage profile showed an extra full
+    # _parse pass (the range filter) plus a re-canonicalization riding
+    # the expanded branch. localCheckpoint preserves the plan's size
+    # stats (verified on Spark 4.1), so compact_reference_frame below
+    # still sees real sizes. At warehouse scale this frame is cached by
+    # every caller anyway — the checkpoint is the same storage class,
+    # and it halves the normalization-UDF work per materialization.
+    g = g.localCheckpoint(eager=True)
     g = expand_ranges(g)
     g = with_blocking_keys(g)
     # compact the reference frame before callers cache it: the spread +

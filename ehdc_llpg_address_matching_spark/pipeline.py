@@ -16,12 +16,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .functions.normalize import (STREET_SUFFIX_WORDS, clean_uprn_series,
-                                  with_canonical, with_components)
-from .functions.phonetic import with_street_phonetic
+from .functions.normalize import with_normalized
 from .functions.symspell import SymSpell, build_dictionary_from_gazetteer
 from .operators import candidates as C
 from .operators import decision as D
@@ -81,29 +78,11 @@ def normalize_documents(docs: DataFrame, symspell: SymSpell | None) -> DataFrame
                 "double" if col in ("easting", "northing") else "string"))
     d = with_raw_address(d)
     d = d.withColumn("span_fp", span_fingerprint())
-    d = with_canonical(d, raw_col="raw_address")
-    d = with_components(d, raw_col="raw_address")
-
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
-
-    @pandas_udf(StringType())
-    def _clean_uprn(s: pd.Series) -> pd.Series:
-        return clean_uprn_series(s)
-
-    d = d.withColumn("uprn_clean", _clean_uprn(F.col("raw_uprn")))
-
-    if symspell is not None:
-        b = d.sparkSession.sparkContext.broadcast(symspell)
-
-        @pandas_udf(StringType())
-        def _correct(s: pd.Series) -> pd.Series:
-            return b.value.correct_tokens_series(s, skip=STREET_SUFFIX_WORDS)
-
-        d = (d.withColumn("addr_core", _correct(F.col("addr_core")))
-              .withColumn("c_street", _correct(F.col("c_street"))))
-    d = with_street_phonetic(d, street_col="c_street")
-    return d
+    # fused single-ArrowEvalPython normalization (canonicalize + parse
+    # + UPRN clean + SymSpell correction + phonetic) — column-for-column
+    # identical to the old three-Python-node chain, guide §4.1/§4.2
+    return with_normalized(d, raw_col="raw_address", uprn_col="raw_uprn",
+                           symspell=symspell)
 
 
 def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,

@@ -195,3 +195,91 @@ def test_hierarchical_probe_fetch_mid_levels(spark):
     phon = m[m.addr_can.str.startswith("MYLL")]
     assert set(phon.method) == {"hier_street_phonetic"}
     assert (phon.method_conf == 0.75).all()
+
+
+# ------------------------------------------- fused normalization UDF
+
+def test_with_normalized_matches_unfused_chain(spark):
+    """The fused single-ArrowEvalPython normalization (with_normalized)
+    must be column-for-column identical to the unfused chain
+    (with_canonical -> with_components -> clean_uprn -> symspell
+    corrections -> with_street_phonetic) — including the in-place
+    SymSpell-corrected addr_core/c_street, the pre-correction
+    tokens/house_numbers, and the phonetic of the CORRECTED street."""
+    from ehdc_llpg_address_matching_spark.functions.normalize import (
+        STREET_SUFFIX_WORDS, clean_uprn_series, with_canonical,
+        with_components, with_normalized)
+    from ehdc_llpg_address_matching_spark.functions.phonetic import \
+        with_street_phonetic
+    from ehdc_llpg_address_matching_spark.functions.symspell import SymSpell
+
+    sym = SymSpell()
+    for w in ("CHURCH", "ROAD", "PETERSFIELD", "HIGH", "STREET",
+              "ALTON", "LANE", "COTTAGE", "FARM", "MARKS"):
+        sym.add(w, 10)
+    rows = [
+        ("1", "Flat 3, 45 Chruch Rd, Petersfeild, GU31 4HX", "10001.00"),
+        ("2", "LAND ADJACENT TO 2 HIGH ST FOUR MARKS GU34 5AA", None),
+        ("3", "10-12 Hgih Street, Alton", "bad-uprn"),
+        ("4", "Rose Cottage, Selborne", "20002"),
+        ("5", "", ""),
+        ("6", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, raw_address string, raw_uprn string")
+
+    old = with_canonical(df, raw_col="raw_address")
+    old = with_components(old, raw_col="raw_address")
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _clean(s: pd.Series) -> pd.Series:
+        return clean_uprn_series(s)
+
+    old = old.withColumn("uprn_clean", _clean(F.col("raw_uprn")))
+    b = spark.sparkContext.broadcast(sym)
+
+    @pandas_udf(StringType())
+    def _correct(s: pd.Series) -> pd.Series:
+        return b.value.correct_tokens_series(s, skip=STREET_SUFFIX_WORDS)
+
+    old = (old.withColumn("addr_core", _correct(F.col("addr_core")))
+              .withColumn("c_street", _correct(F.col("c_street"))))
+    old = with_street_phonetic(old, street_col="c_street")
+
+    new = with_normalized(df, raw_col="raw_address", uprn_col="raw_uprn",
+                          symspell=sym)
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+    # no-symspell / no-uprn variant (the prepare_gazetteer shape)
+    old2 = with_canonical(df, raw_col="raw_address")
+    old2 = with_components(old2, raw_col="raw_address")
+    old2 = with_street_phonetic(old2, street_col="c_street")
+    new2 = with_normalized(df, raw_col="raw_address")
+    assert new2.schema == old2.schema
+    assert new2.exceptAll(old2).count() == 0
+    assert old2.exceptAll(new2).count() == 0
+
+
+def test_with_normalized_single_arrow_node(spark):
+    """The fused path must plan exactly ONE ArrowEvalPython node (the
+    unfused chain planned three for documents)."""
+    import re
+    from ehdc_llpg_address_matching_spark.functions.normalize import \
+        with_normalized
+    from ehdc_llpg_address_matching_spark.functions.symspell import SymSpell
+    df = spark.createDataFrame(
+        [("1", "45 CHURCH ROAD GU31 4HX", "1.00")],
+        "doc_id string, raw_address string, raw_uprn string")
+    sym = SymSpell()
+    sym.add("CHURCH", 10)
+    sym.add("ROAD", 10)
+    plan = with_normalized(df, raw_col="raw_address",
+                           uprn_col="raw_uprn", symspell=sym) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1
