@@ -142,8 +142,15 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, gaz: DataFrame,
     cands = C.union_candidates(*gens).localCheckpoint(eager=True)
 
     # --- phase: pair scoring (cheap column features -> JVM prefilter ->
-    #     Arrow string-sim UDF -> weighted score)
-    pairs = S.attach_pair_attrs(cands, uaddr, gazp)
+    #     Arrow string-sim UDF -> weighted score). The checkpointed
+    #     candidate set materializes AQE-coalesced (17 partitions at the
+    #     bench corpus), so the expensive fused prefilter+Arrow stage ran
+    #     17 tasks on 32 cores; spread_for_udf re-spreads it to the
+    #     session parallelism (no-op whenever the candidate set already
+    #     has >= cluster-cores partitions, i.e. at real scale). The
+    #     exposed "candidates" output stays the un-spread checkpoint.
+    from .session import spread_for_udf
+    pairs = S.attach_pair_attrs(spread_for_udf(cands), uaddr, gazp)
     pairs = S.with_column_features(pairs)
     pairs = S.prefilter_pairs(pairs)
     pairs = S.with_pair_features(pairs)

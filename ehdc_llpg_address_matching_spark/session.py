@@ -128,4 +128,20 @@ def get_spark(
         b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # Spark 4 routes upper()/lower() through ICU case mappings
+    # (CollationSupport): the FIRST evaluation in a JVM pays a ~1.3 s
+    # one-time ICU data load, and when that first evaluation lands
+    # inside a wide task stage every slot pays/contends on the static
+    # init — a thread dump of the candidate-union job caught 31/32 task
+    # threads stalled in CollationSupport$Upper at the first
+    # norm_house_expr evaluation (~35 s of task time, ~1.2 s of wall).
+    # Pay it once on the driver thread at session build instead. In
+    # local mode (driver == executor JVM) this removes the stall
+    # entirely; on a multi-JVM cluster executors still lazy-init on
+    # their first task exactly as before, so this is never worse.
+    try:
+        spark.sql("SELECT upper('icu warm-up')").collect()
+    except Exception:
+        pass
+    return spark
